@@ -1,0 +1,145 @@
+"""Differentiable rendering path (new surface required by BASELINE.json's
+north star; no reference counterpart — SURVEY.md §3.5).
+
+Strategy (SURVEY.md §7.1 'Differentiability bolted to the commit'):
+  - The intersector produces DISCRETE results (prim ids) plus detached t/u/v.
+  - `reintersect` recomputes (t, u, v) for the committed triangle *analytically
+    in jnp* from the (differentiable) vertex array → gradients w.r.t. vertices.
+  - Shading consumes (differentiable) albedo/emission arrays → material grads.
+  - Visibility (which prim is hit / is a lane occluded) is piecewise-constant
+    and deliberately detached: gradients are exact for shading/geometry of the
+    fixed visibility configuration (no silhouette-edge terms in the MVP).
+
+Public API: `render_grad` (loss + grads), `make_diff_render_fn`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geom, rng
+from ..core.types import Hits
+from ..integrators import wavefront
+from ..oracle.brute import BruteIntersector
+
+
+def reintersect(vertices, faces, prim, o, d, tmax, valid):
+    """Differentiably recompute (t, u, v, n) for committed prim ids.
+
+    vertices participates in autodiff; prim/o/d are treated as constants by the
+    caller's custom structure (o/d of secondary rays DO carry gradients from
+    earlier bounces' geometry — we keep that path open by not detaching them).
+    """
+    safe = jnp.where(valid, prim, 0)
+    tv = vertices[faces[safe].reshape(-1)].reshape(-1, 3, 3)
+    v0, v1, v2 = tv[:, 0], tv[:, 1], tv[:, 2]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    t, u, v, ok = geom.moller_trumbore(o, d, v0, e1, e2, jnp)
+    # Where the discrete pass said "hit", the analytic recompute must agree;
+    # guard non-hits so no NaN/inf leaks into grads.
+    t = jnp.where(valid & ok, t, tmax)
+    n = geom.normalize(geom.cross(e1, e2, jnp), jnp)
+    return t, u, v, n
+
+
+class DetachedIntersector:
+    """Wraps an intersector: stops gradients through the discrete search.
+
+    The wrapped intersector may consume non-differentiable prebuilt arrays
+    (BVH, Pallas tri SoA); this class re-derives differentiable hit attributes
+    via `reintersect` against the live vertex/face arrays.
+    """
+
+    def __init__(self, inner, vertices, faces):
+        self.inner = inner
+        self.vertices = vertices
+        self.faces = faces
+
+    def intersect(self, o, d, tmin, tmax):
+        h = self.inner.intersect(
+            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), tmin, tmax
+        )
+        t, u, v, _ = reintersect(
+            self.vertices, self.faces, h.prim, o, d, tmax, h.valid
+        )
+        return Hits(t=t, prim=h.prim, u=u, v=v, valid=h.valid)
+
+    def occluded(self, o, d, tmax):
+        return self.inner.occluded(
+            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), tmax
+        )
+
+
+def diff_scene_arrays(scene, params):
+    """Shading arrays from differentiable params {'vertices','albedo','emission'}.
+
+    Normals are recomputed in jnp from the live vertices so vertex gradients
+    flow through shading normals too.
+    """
+    vertices = params.get("vertices", jnp.asarray(scene.vertices))
+    faces = jnp.asarray(scene.faces)
+    albedo = params.get("albedo", jnp.asarray(scene.albedo))
+    emission = params.get("emission", jnp.asarray(scene.emission))
+    normals = geom.face_normals(vertices, faces, jnp)
+    lids = wavefront.light_ids_static(scene)
+    return {
+        "albedo": albedo,
+        "emission": emission,
+        "normals": normals,
+        "offset_eps": wavefront.scene_offset_eps(scene),
+        # Rebuilt from LIVE vertices/emission: light position, normal, area and
+        # radiance all carry gradients through the NEE estimator.
+        "lights": wavefront.make_light_arrays(vertices, faces, emission, lids, jnp),
+    }, vertices, faces
+
+
+def make_diff_render_fn(scene, camera, cfg, make_intersector=None):
+    """Returns render(params) -> image, differentiable w.r.t. params.
+
+    params: dict with any of 'vertices' (V,3), 'albedo' (F,3), 'emission' (F,3).
+    NOTE: when 'vertices' is present the discrete intersector still uses the
+    ORIGINAL geometry (visibility configuration is frozen at build time); the
+    analytic attributes use the live vertices.  This is the detached-visibility
+    model — exact for infinitesimal perturbations off silhouettes.
+    """
+    if make_intersector is None:
+        make_intersector = lambda s: BruteIntersector(s, jnp)
+    base_intersector = make_intersector(scene)
+    npix = camera.width * camera.height
+    pixel_ids = jnp.arange(npix, dtype=jnp.uint32)
+
+    def render(params):
+        arrays, vertices, faces = diff_scene_arrays(scene, params)
+        intersector = DetachedIntersector(base_intersector, vertices, faces)
+
+        def body(acc, s):
+            return acc + wavefront.sample_wavefront(
+                arrays, camera, cfg, intersector, jnp, s, pixel_ids
+            ), None
+
+        acc, _ = jax.lax.scan(
+            body,
+            jnp.zeros((npix, 3), jnp.float32),
+            jnp.arange(cfg.spp, dtype=jnp.uint32),
+        )
+        return (acc / cfg.spp).reshape(camera.height, camera.width, 3)
+
+    return render
+
+
+def render_grad(scene, camera, cfg, params, loss_fn=None, make_intersector=None):
+    """Convenience: (loss, grads) for given params under loss_fn(image)."""
+    if loss_fn is None:
+        loss_fn = lambda img: jnp.mean(img)
+    render = make_diff_render_fn(scene, camera, cfg, make_intersector)
+
+    @jax.jit
+    def lg(params):
+        return jax.value_and_grad(lambda p: loss_fn(render(p)))(params)
+
+    return lg(params)

@@ -1,0 +1,60 @@
+"""Device (JAX) single-domain renderer: jit-compiled wavefront integrator.
+
+Same integrator body as the oracle (spray_tpu.integrators.wavefront), evaluated
+under jax.numpy with a pluggable device intersector (brute / BVH-jnp / Pallas).
+The per-sample function is jit'd once; spp is driven by lax.scan over sample
+indices so one compilation covers any spp.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geom
+from ..oracle.brute import BruteIntersector
+from . import wavefront
+
+
+def device_scene_arrays(scene):
+    return wavefront.make_scene_arrays(scene, jnp)
+
+
+def make_render_fn(scene, camera, cfg, intersector=None, donate=False):
+    """Build a jit'd full-frame render fn: (scene_arrays) -> (H, W, 3) image.
+
+    scene_arrays is passed as an argument (not closed over) so material /
+    geometry gradients can flow through it (spray_tpu.diff builds on this).
+    """
+    if intersector is None:
+        intersector = BruteIntersector(scene, jnp)
+    npix = camera.width * camera.height
+    pixel_ids = jnp.arange(npix, dtype=jnp.uint32)
+
+    def one_sample(scene_arrays, sample_idx):
+        return wavefront.sample_wavefront(
+            scene_arrays, camera, cfg, intersector, jnp, sample_idx, pixel_ids
+        )
+
+    @functools.partial(jax.jit, static_argnames=("spp",))
+    def render(scene_arrays, spp):
+        def body(acc, s):
+            return acc + one_sample(scene_arrays, s), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((npix, 3), jnp.float32), jnp.arange(spp, dtype=jnp.uint32)
+        )
+        img = acc * jnp.float32(1.0 / spp)
+        return img.reshape(camera.height, camera.width, 3)
+
+    return lambda scene_arrays: render(scene_arrays, cfg.spp)
+
+
+def render_device(scene, camera, cfg, intersector=None):
+    """Convenience: render a scene on the default JAX backend."""
+    arrays = device_scene_arrays(scene)
+    fn = make_render_fn(scene, camera, cfg, intersector)
+    return np.asarray(fn(arrays))
