@@ -54,7 +54,16 @@ def make_render_fn(scene, camera, cfg, intersector=None, donate=False):
 
 
 def render_device(scene, camera, cfg, intersector=None):
-    """Convenience: render a scene on the default JAX backend."""
+    """Convenience: render a scene on the default JAX backend.
+
+    Host-driven intersectors (e.g. the out-of-core epoch scheduler, which does
+    residency I/O between epochs like the reference's disk loads) cannot be
+    traced into a jitted scan; those run the eager wavefront loop — jnp ops
+    still execute on device, only the epoch control flow is host-side.
+    """
+    if getattr(intersector, "host_driven", False):
+        img = wavefront.render(scene, camera, cfg, intersector, jnp)
+        return np.asarray(img)
     arrays = device_scene_arrays(scene)
     fn = make_render_fn(scene, camera, cfg, intersector)
     return np.asarray(fn(arrays))

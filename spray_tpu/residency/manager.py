@@ -1,0 +1,78 @@
+"""Domain residency manager (SURVEY.md §2 R10 equivalent).
+
+The reference's out-of-core mode streams domains disk → RAM into a bounded
+LRU cache, building BVHs on load.  TPU redesign (§7.1 'Residency = fixed
+domain slots'): all domains live pre-built in HOST DRAM (numpy, the 'disk'
+tier); the device holds K fixed-shape resident slots in HBM.  `acquire`
+device_puts missing domains into slots with LRU eviction; cache hits are free
+(the device buffer is reused, no copy).  Because every domain is padded to the
+same shape (partition.DomainSet), slot contents swap with zero recompiles.
+
+Loads are async (device_put returns immediately); the first kernel that
+consumes a slot blocks on its transfer, which overlaps upload with the
+preceding epoch's compute — the analog of the reference's load/trace overlap.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..domains.partition import DomainSet
+
+
+class ResidencyManager:
+    def __init__(self, dset: DomainSet, num_slots, device=None):
+        self.host = dset
+        self.num_slots = int(num_slots)
+        self.device = device or jax.devices()[0]
+        self._resident = {}  # domain_id -> device pytree (dict of arrays)
+        self._lru = []  # domain ids, least-recent first
+        self.loads = 0  # stats: domain uploads (reference's 'domains loaded')
+        self.hits = 0
+
+    def _host_domain(self, d):
+        h = self.host
+        return {
+            "child_lo": h.child_lo[d], "child_hi": h.child_hi[d],
+            "child_node": h.child_node[d], "child_count": h.child_count[d],
+            "v0": h.v0[d], "e1": h.e1[d], "e2": h.e2[d],
+            "orig_id": h.orig_id[d],
+        }
+
+    def acquire(self, domain_ids):
+        """Make `domain_ids` resident (len <= num_slots).  Returns list of
+        device pytrees in the same order."""
+        ids = list(domain_ids)
+        if len(ids) > self.num_slots:
+            raise ValueError(
+                f"requested {len(ids)} domains > {self.num_slots} slots"
+            )
+        out = []
+        for d in ids:
+            d = int(d)
+            if d in self._resident:
+                self.hits += 1
+                self._lru.remove(d)
+            else:
+                while len(self._resident) >= self.num_slots:
+                    # evict least-recently-used domain not in this request
+                    for cand in self._lru:
+                        if cand not in ids:
+                            break
+                    else:
+                        raise RuntimeError("all slots pinned by request")
+                    self._lru.remove(cand)
+                    del self._resident[cand]
+                self._resident[d] = jax.device_put(
+                    self._host_domain(d), self.device
+                )
+                self.loads += 1
+            self._lru.append(d)
+            out.append(self._resident[d])
+        return out
+
+    @property
+    def resident_ids(self):
+        return set(self._resident)

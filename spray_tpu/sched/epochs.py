@@ -1,0 +1,256 @@
+"""Epoch-based speculative ray scheduler (SURVEY.md §2 R5–R8, §3.1–3.3).
+
+The reference's frame loop: per epoch, gather per-domain ray-queue counts,
+compute a domain schedule, load scheduled domains (OOC), speculatively trace,
+then commit hits whose every closer domain has been processed.  TPU redesign:
+
+  - 'Queues' are not materialized: the wavefront is fixed-shape SoA and a ray's
+    membership in queue[d] is the derived mask
+        needed(i, d) = overlaps(i, d) & ~processed(i, d) & entry_t(i, d) < best_t(i)
+    (a ray leaves every queue automatically once a committed-closer hit moots
+    the domain — the vectorized form of the reference's queue bookkeeping).
+  - Per-epoch 'allgather of queue counts' = a column-sum of `needed` (and a
+    psum across chips in the distributed version).
+  - The schedule = top-K domains by queue count (K = resident slots).
+  - SPECULATIVE trace: every scheduled domain traces ALL rays that need it.
+    BASELINE (non-speculative, the reference's baseline_* apps, R17): a ray may
+    only be traced in its single NEAREST unprocessed domain this epoch —
+    strict front-to-back, more epochs, same image (tested).
+  - COMMIT is implicit in the state: a ray is done when `needed` is empty;
+    its best (t, prim) then provably satisfies the commit invariant
+    (no unprocessed domain with entry_t < best_t) — property-tested.
+
+The epoch loop is host-driven (like the reference's main loop, which does disk
+I/O between epochs): jitted steps + a tiny host scheduler reading one (D,)
+count vector per epoch.  `ResidencyManager` supplies device-resident slots.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bvh.traverse import DeviceBVH
+from ..core.types import Hits
+from ..residency.manager import ResidencyManager
+from ..sched.multidomain import DeviceDomainSet, domain_entries, trace_domain
+from ..core.types import pytree_dataclass
+
+
+@pytree_dataclass
+class EpochState:
+    """Wavefront trace state carried across epochs (all fixed-shape)."""
+
+    o: Any
+    d: Any
+    tmin: Any
+    best_t: Any  # (N,) current nearest (== original tmax while no hit)
+    best_prim: Any  # (N,) global tri id or -1
+    best_u: Any
+    best_v: Any
+    found: Any  # (N,) bool
+    entry_t: Any  # (N, D) domain entry distance (+inf no overlap)
+    processed: Any  # (N, D) bool
+    occ_mode: Any  # () bool: any-hit semantics (occlusion rays)
+
+
+@dataclasses.dataclass
+class EpochStats:
+    """Reference-style work stats (SURVEY §2 R19): per-run counters."""
+
+    epochs: int = 0
+    rays_traced: int = 0  # ray-domain trace activations
+    rays_speculated: int = 0  # activations beyond the nearest-domain minimum
+    committed: int = 0
+    domain_loads: int = 0
+    cache_hits: int = 0
+
+    @property
+    def speculation_efficiency(self):
+        """committed / traced — THE metric of the core idea (SURVEY §5)."""
+        return self.committed / max(self.rays_traced, 1)
+
+
+def init_state(dset: DeviceDomainSet, o, d, tmin, tmax, occ_mode=False):
+    n = o.shape[0]
+    entry = domain_entries(dset, o, d, tmin, tmax)
+    return EpochState(
+        o=o, d=d, tmin=tmin,
+        best_t=tmax,
+        best_prim=jnp.full(n, -1, jnp.int32),
+        best_u=jnp.zeros(n, jnp.float32),
+        best_v=jnp.zeros(n, jnp.float32),
+        found=jnp.zeros(n, bool),
+        entry_t=entry,
+        processed=jnp.zeros(entry.shape, bool),
+        occ_mode=jnp.asarray(occ_mode),
+    )
+
+
+def needed_mask(state: EpochState):
+    """(N, D) ray-needs-domain mask == implicit queue membership."""
+    live = jnp.where(state.occ_mode, ~state.found, jnp.ones_like(state.found))
+    return (
+        jnp.isfinite(state.entry_t)
+        & ~state.processed
+        & (state.entry_t < state.best_t[:, None])
+        & live[:, None]
+    )
+
+
+@jax.jit
+def queue_counts(state: EpochState):
+    """(D,) per-domain queue sizes — the reference's allgathered counts.
+
+    Like the reference, each ray is QUEUED for exactly one domain: its nearest
+    unprocessed overlapped domain (front-to-back order).  Speculation traces
+    rays in *additional* resident domains beyond their queue assignment, but
+    scheduling is driven by these single-membership counts — this also
+    guarantees every scheduled domain makes progress in baseline mode.
+    """
+    need = needed_mask(state)
+    masked_entry = jnp.where(need, state.entry_t, jnp.inf)
+    nearest = jnp.argmin(masked_entry, axis=1)
+    has = jnp.isfinite(jnp.min(masked_entry, axis=1))
+    d_ = state.entry_t.shape[1]
+    return (
+        jnp.zeros(d_, jnp.int32)
+        .at[nearest]
+        .add(jnp.where(has, 1, 0).astype(jnp.int32))
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("speculate", "leaf_size"))
+def epoch_step(state: EpochState, slots, slot_ids, speculate, leaf_size):
+    """Trace one epoch over the resident slots.
+
+    slots: tuple of per-slot array dicts; slot_ids: (K,) int32 domain ids
+    (-1 = empty slot).  Returns (state, traced_count, speculated_count).
+    """
+    need = needed_mask(state)
+    # nearest unprocessed domain per ray (for the non-speculative baseline
+    # and for speculation accounting)
+    masked_entry = jnp.where(need, state.entry_t, jnp.inf)
+    nearest_dom = jnp.argmin(masked_entry, axis=1)
+    has_need = jnp.isfinite(jnp.min(masked_entry, axis=1))
+
+    traced = jnp.int32(0)
+    speculated = jnp.int32(0)
+    for k, slot in enumerate(slots):
+        d_id = slot_ids[k]
+        valid_slot = d_id >= 0
+        active = need[:, d_id] & valid_slot
+        if not speculate:
+            active = active & (nearest_dom == d_id) & has_need
+        is_spec = active & ~((nearest_dom == d_id) & has_need)
+        traced = traced + jnp.sum(active, dtype=jnp.int32)
+        speculated = speculated + jnp.sum(is_spec, dtype=jnp.int32)
+
+        dbvh = DeviceBVH(
+            child_lo=slot["child_lo"], child_hi=slot["child_hi"],
+            child_node=slot["child_node"], child_count=slot["child_count"],
+            v0=slot["v0"], e1=slot["e1"], e2=slot["e2"],
+            orig_id=slot["orig_id"], leaf_size=leaf_size,
+        )
+        window = jnp.where(active, state.best_t, jnp.float32(0.0))
+        t, p, u, v, f = trace_domain(
+            dbvh, state.o, state.d, state.tmin, window
+        )
+        upd = f & (t < state.best_t) & active
+        state = dataclasses.replace(
+            state,
+            best_t=jnp.where(upd, t, state.best_t),
+            best_prim=jnp.where(upd, p, state.best_prim),
+            best_u=jnp.where(upd, u, state.best_u),
+            best_v=jnp.where(upd, v, state.best_v),
+            found=state.found | (f & active),
+            processed=state.processed.at[:, d_id].set(
+                state.processed[:, d_id] | active
+            ),
+        )
+    return state, traced, speculated
+
+
+def schedule_top_k(counts, k):
+    """Host scheduler: the K largest nonempty queues (reference's
+    biggest-queue-first policy, SURVEY §2 R8)."""
+    order = np.argsort(-counts, kind="stable")
+    ids = [int(d) for d in order[:k] if counts[d] > 0]
+    return ids
+
+
+class OOCIntersector:
+    """Out-of-core multi-domain intersector (BASELINE.md config 4).
+
+    Same interface as every other intersector; internally runs the epoch loop
+    with at most `num_slots` domains resident at a time.  `host_driven`:
+    epoch scheduling + residency I/O run on host between jitted steps, so this
+    intersector must be used from eager wavefront loops, not inside jit.
+    """
+
+    host_driven = True
+
+    def __init__(self, scene=None, n_domains=64, num_slots=8, dset=None,
+                 leaf_size=16, branching=8, speculate=True, max_epochs=256):
+        if dset is None:
+            from ..domains.partition import partition_scene  # noqa: PLC0415
+
+            dset = partition_scene(
+                scene, n_domains, leaf_size=leaf_size, branching=branching
+            )
+        self.host_dset = dset
+        self.dset = DeviceDomainSet.from_host(dset)
+        # Keep only AABBs + metadata resident; geometry goes through slots.
+        self.residency = ResidencyManager(dset, num_slots)
+        self.speculate = speculate
+        self.max_epochs = max_epochs
+        self.leaf_size = dset.leaf_size
+        self.stats = EpochStats()
+
+    def _run_epochs(self, state):
+        k = self.residency.num_slots
+        for _ in range(self.max_epochs):
+            counts = np.asarray(queue_counts(state))
+            sched = schedule_top_k(counts, k)
+            if not sched:
+                break
+            slots = self.residency.acquire(sched)
+            slot_ids = jnp.asarray(
+                sched + [-1] * (k - len(sched)), dtype=jnp.int32
+            )
+            # pad slots tuple to K with repeats of slot 0 (masked by id -1)
+            slots = tuple(slots) + tuple(
+                slots[0] for _ in range(k - len(slots))
+            )
+            state, traced, spec = epoch_step(
+                state, slots, slot_ids, self.speculate, self.leaf_size
+            )
+            self.stats.epochs += 1
+            self.stats.rays_traced += int(traced)
+            self.stats.rays_speculated += int(spec)
+        else:
+            raise RuntimeError("epoch loop failed to converge (max_epochs)")
+        self.stats.domain_loads = self.residency.loads
+        self.stats.cache_hits = self.residency.hits
+        return state
+
+    def intersect(self, o, d, tmin, tmax):
+        state = init_state(self.dset, o, d, tmin, tmax, occ_mode=False)
+        state = self._run_epochs(state)
+        self.stats.committed += int(jnp.sum(state.found))
+        return Hits(
+            t=jnp.where(state.found, state.best_t, tmax),
+            prim=state.best_prim, u=state.best_u, v=state.best_v,
+            valid=state.found,
+        )
+
+    def occluded(self, o, d, tmax):
+        tmin = jnp.zeros_like(tmax)
+        state = init_state(self.dset, o, d, tmin, tmax, occ_mode=True)
+        state = self._run_epochs(state)
+        return state.found

@@ -1,0 +1,90 @@
+"""Config-3 equivalence rung: 8-domain speculative (single chip) == single
+domain == brute oracle (SURVEY.md §4 ladder)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from spray_tpu.core.camera import make_camera
+from spray_tpu.core.config import RenderConfig
+from spray_tpu.domains.partition import median_split_assign, partition_scene
+from spray_tpu.integrators.device import render_device
+from spray_tpu.io.scenes import bumpy_sphere, cornell_box, merge_scenes, wisp_cloud
+from spray_tpu.oracle.brute import BruteIntersector
+from spray_tpu.sched.multidomain import MultiDomainIntersector
+
+
+def _rand_rays(scene, n, seed=0):
+    v = np.asarray(scene.vertices)
+    lo, hi = v.min(0), v.max(0)
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(lo - 0.5, hi + 0.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_partition_covers_all_tris():
+    scene = bumpy_sphere(subdiv=3)
+    assign = median_split_assign(
+        np.random.RandomState(0).uniform(size=(scene.num_faces, 3)), 8
+    )
+    assert assign.shape == (scene.num_faces,)
+    assert set(np.unique(assign)) <= set(range(8))
+    ds = partition_scene(scene, 8, leaf_size=8)
+    # every global tri id appears exactly once across domains
+    ids = ds.orig_id[ds.orig_id >= 0]
+    assert sorted(ids.tolist()) == list(range(scene.num_faces))
+    assert ds.num_tris.sum() == scene.num_faces
+
+
+def _check_equivalence(scene, n_domains, n_rays=512, seed=3):
+    o, d = _rand_rays(scene, n_rays, seed)
+    tmin = jnp.zeros(n_rays, jnp.float32)
+    tmax = jnp.full(n_rays, np.inf, jnp.float32)
+    ref = BruteIntersector(scene, jnp)
+    multi = MultiDomainIntersector(scene, n_domains=n_domains, leaf_size=8)
+    hr = ref.intersect(o, d, tmin, tmax)
+    hm = multi.intersect(o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(hr.valid), np.asarray(hm.valid))
+    m = np.asarray(hr.valid)
+    np.testing.assert_allclose(
+        np.asarray(hr.t)[m], np.asarray(hm.t)[m], rtol=1e-5, atol=1e-6
+    )
+    assert (np.asarray(hr.prim)[m] == np.asarray(hm.prim)[m]).mean() > 0.998
+    occ_r = np.asarray(ref.occluded(o, d, jnp.full(n_rays, 1e30)))
+    occ_m = np.asarray(multi.occluded(o, d, jnp.full(n_rays, 1e30)))
+    np.testing.assert_array_equal(occ_r, occ_m)
+
+
+def test_8_domain_equivalence_cornell_sphere():
+    scene = merge_scenes(
+        [cornell_box(), bumpy_sphere(subdiv=3, center=(0.5, 0.4, 0.4), radius=0.2)]
+    )
+    _check_equivalence(scene, 8)
+
+
+def test_16_domain_equivalence_wisps():
+    scene = wisp_cloud(n_blobs=8, tris_per_blob=80, extent=4.0)
+    _check_equivalence(scene, 16, seed=7)
+
+
+def test_multidomain_render_parity():
+    """Full render through the multi-domain intersector == oracle image."""
+    from spray_tpu.oracle import render_oracle
+
+    scene = merge_scenes(
+        [cornell_box(), bumpy_sphere(subdiv=2, center=(0.5, 0.4, 0.4), radius=0.2)]
+    )
+    cam = make_camera(
+        eye=(0.5, 0.5, 2.2), lookat=(0.5, 0.5, 0.0), up=(0, 1, 0),
+        fov_y_deg=40, width=32, height=32,
+    )
+    cfg = RenderConfig(spp=1, bounces=2, integrator="pt", seed=5)
+    ref = np.asarray(render_oracle(scene, cam, cfg))
+    dev = np.asarray(
+        render_device(
+            scene, cam, cfg,
+            intersector=MultiDomainIntersector(scene, n_domains=8, leaf_size=8),
+        )
+    )
+    np.testing.assert_allclose(dev, ref, atol=2e-3, rtol=1e-3)
