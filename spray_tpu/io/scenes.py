@@ -85,9 +85,11 @@ def cornell_box():
             [0.65, 0.999, 0.65], [0.35, 0.999, 0.65],
             (0.0, 0.0, 0.0), emission=(15.0, 15.0, 15.0),
         ),
-        # two interior boxes
-        box([0.12, 0.0, 0.45], [0.42, 0.6, 0.75], white),
-        box([0.55, 0.0, 0.15], [0.85, 0.3, 0.45], white),
+        # two interior boxes (lifted 1e-3 off the floor: exactly-coplanar
+        # faces create t-ties that different-but-correct intersectors break
+        # differently, poisoning image-equality oracles)
+        box([0.12, 0.001, 0.45], [0.42, 0.6, 0.75], white),
+        box([0.55, 0.001, 0.15], [0.85, 0.3, 0.45], white),
     ]
     return merge_scenes(parts)
 

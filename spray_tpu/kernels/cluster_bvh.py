@@ -1,0 +1,122 @@
+"""Cluster BVH: host-side build of the MXU-friendly acceleration structure.
+
+TPU-native redesign of Embree's role (SURVEY.md §2 R3, §7.3 #1): instead of
+deep trees with tiny leaves traversed divergently (great on CPUs, hostile to a
+lock-step VPU), we build a SHALLOW 8-wide BVH whose leaves are CLUSTERS of
+C=128 triangles, and intersect ray-packets against whole clusters on the MXU:
+
+  Each triangle is precomputed as a world→unit-triangle affine transform
+  (Woop-style).  A cluster packs those transforms as a (4, 3C) matrix W with
+  component-major column blocks [u | v | w].  For a packet of 1024 rays,
+      O' = [o,1] @ W   and   D' = [d,0] @ W        (two MXU matmuls)
+  then elementwise  t = -O'w/D'w,  u = O'u + t D'u,  v = O'v + t D'v
+  gives every (ray, tri) test in the cluster — 131K intersection tests for
+  ~2.4 MFLOP of MXU work plus a handful of VPU ops, no gathers, no divergence.
+
+Degenerate padding triangles get transforms that can never hit (D'w = 0,
+O'w = 1 → t = -inf).  Layout constants match the Pallas kernel
+(spray_tpu.kernels.traverse): C = 128 (one lane tile per component block).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..bvh.builder import build_bvh
+
+CLUSTER = 128  # tris per cluster == TPU lane width
+
+
+@dataclasses.dataclass
+class ClusterBVH:
+    """Flat arrays consumed by the Pallas packet-traversal kernel."""
+
+    bounds: np.ndarray  # (Nn, 48) f32 packed [lox*8|loy*8|loz*8|hix*8|hiy*8|hiz*8]
+    #                      (packed flat to avoid 8->128 lane padding in VMEM)
+    meta: np.ndarray  # (Nn, 8) i32: >=0 internal child node; -1 empty;
+    #                   <= -2 leaf -> cluster id = -(v + 2)
+    w: np.ndarray  # (Nc, 4, 3*C) f32 transform blocks [u | v | w]
+    tri_ids: np.ndarray  # (Nc, C) i32 global tri ids (-1 padding)
+    world_lo: np.ndarray
+    world_hi: np.ndarray
+
+    @property
+    def num_nodes(self):
+        return self.bounds.shape[0]
+
+    @property
+    def num_clusters(self):
+        return self.w.shape[0]
+
+
+def tri_transforms(v0, e1, e2):
+    """(T, 4, 3) per-tri affine blocks: rows 0-2 = A (=[e1 e2 n]^-1),
+    row 3 = -A v0.  Degenerate tris -> never-hit transform."""
+    t = len(v0)
+    n = np.cross(e1, e2)
+    m = np.stack([e1, e2, n], axis=-1)  # (T, 3, 3) columns e1,e2,n
+    det = np.linalg.det(m)
+    ok = np.abs(det) > 1e-18
+    m_safe = np.where(ok[:, None, None], m, np.eye(3, dtype=np.float32))
+    a = np.linalg.inv(m_safe)  # (T, 3, 3)
+    trans = -np.einsum("tij,tj->ti", a, v0)
+    out = np.zeros((t, 4, 3), np.float32)
+    out[:, 0:3, :] = np.transpose(a, (0, 2, 1))  # out[:, i, k] = a[k, i]
+    out[:, 3, :] = trans
+    # never-hit for degenerate: A=0, trans=(0,0,1) => O'w=1, D'w=0 => t=-inf
+    bad = ~ok
+    out[bad] = 0.0
+    out[bad, 3, 2] = 1.0
+    return out
+
+
+def build_cluster_bvh(vertices, faces, branching=8, num_bins=16):
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int64)
+    bvh = build_bvh(
+        vertices, faces, leaf_size=CLUSTER, branching=branching,
+        num_bins=num_bins,
+    )
+    order = bvh.tri_order  # (Tp,) multiple of CLUSTER, -1 padding
+    tp = len(order)
+    assert tp % CLUSTER == 0
+    nc = tp // CLUSTER
+
+    tv = vertices[faces.reshape(-1)].reshape(-1, 3, 3)
+    valid = order >= 0
+    safe = np.where(valid, order, 0)
+    t = tv[safe]
+    v0 = t[:, 0]
+    e1 = np.where(valid[:, None], t[:, 1] - t[:, 0], 0.0).astype(np.float32)
+    e2 = np.where(valid[:, None], t[:, 2] - t[:, 0], 0.0).astype(np.float32)
+    v0 = np.where(valid[:, None], v0, 0.0).astype(np.float32)
+
+    tf = tri_transforms(v0, e1, e2)  # (Tp, 4, 3)
+    # (Nc, C, 4, 3) -> component-major blocks (Nc, 4, 3C): [u(C) | v(C) | w(C)]
+    tf = tf.reshape(nc, CLUSTER, 4, 3)
+    w = np.transpose(tf, (0, 2, 3, 1)).reshape(nc, 4, 3 * CLUSTER)
+    ids = np.where(valid, order, -1).astype(np.int32).reshape(nc, CLUSTER)
+
+    # node arrays: bounds (Nn, 6, 8), meta (Nn, 8).  Leaf value in builder is
+    # -(start + 2) with start a tri index; convert to cluster id.
+    nn = bvh.num_nodes
+    bounds = np.empty((nn, 6, 8), np.float32)
+    bounds[:, 0:3, :] = np.transpose(bvh.child_lo, (0, 2, 1))
+    bounds[:, 3:6, :] = np.transpose(bvh.child_hi, (0, 2, 1))
+    bounds = bounds.reshape(nn, 48)
+    meta = bvh.child_node.astype(np.int64).copy()
+    leaf = meta <= -2
+    start = -(meta + 2)
+    cid = start // CLUSTER
+    meta = np.where(leaf, -(cid + 2), meta).astype(np.int32)
+
+    return ClusterBVH(
+        bounds=np.ascontiguousarray(bounds),
+        meta=np.ascontiguousarray(meta),
+        w=np.ascontiguousarray(w.astype(np.float32)),
+        tri_ids=ids,
+        world_lo=bvh.world_lo,
+        world_hi=bvh.world_hi,
+    )

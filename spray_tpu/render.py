@@ -20,10 +20,19 @@ from .oracle.brute import BruteIntersector
 
 
 def default_intersector(scene, prefer="auto"):
-    """Best intersector for the current backend / scene size."""
+    """Best intersector for the current backend / scene size.
+
+    TPU: Pallas packet/cluster kernels (domain-split to fit VMEM).
+    CPU: jnp BVH traversal (the Pallas interpreter is far slower), brute for
+    tiny scenes.
+    """
     ntris = int(np.asarray(scene.faces).shape[0])
     if prefer == "brute" or (prefer == "auto" and ntris <= 256):
         return BruteIntersector(scene, jnp)
+    if prefer == "pallas" or (prefer == "auto" and jax.default_backend() == "tpu"):
+        from .kernels.multidomain import MultiDomainClusterIntersector  # noqa: PLC0415
+
+        return MultiDomainClusterIntersector(scene)
     return BVHIntersector(scene)
 
 

@@ -1,0 +1,65 @@
+"""Pallas packet/cluster kernels (interpret mode) == jnp brute intersector."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spray_tpu.io.scenes import bumpy_sphere, cornell_box, wisp_cloud
+from spray_tpu.kernels.traverse import ClusterBVHIntersector
+from spray_tpu.oracle.brute import BruteIntersector
+
+
+def _rand_rays(scene, n, seed=0):
+    v = np.asarray(scene.vertices)
+    lo, hi = v.min(0), v.max(0)
+    rng = np.random.RandomState(seed)
+    o = rng.uniform(lo - 0.5, hi + 0.5, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize(
+    "scene,seed",
+    [
+        (cornell_box(), 1),  # single cluster
+        (bumpy_sphere(subdiv=3), 2),  # multiple clusters, one level
+        (wisp_cloud(n_blobs=8, tris_per_blob=80, extent=4.0), 3),  # deeper
+    ],
+    ids=["cornell", "sphere", "wisps"],
+)
+def test_cluster_kernel_matches_brute(scene, seed):
+    n = 1500  # > 1 packet, not a multiple of 1024 (tests padding)
+    o, d = _rand_rays(scene, n, seed)
+    tmin = jnp.zeros(n, jnp.float32)
+    tmax = jnp.full(n, np.inf, jnp.float32)
+    ref = BruteIntersector(scene, jnp)
+    pk = ClusterBVHIntersector(scene)
+    hr = ref.intersect(o, d, tmin, tmax)
+    hp = pk.intersect(o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(hr.valid), np.asarray(hp.valid))
+    m = np.asarray(hr.valid)
+    # transform-based t vs Moller-Trumbore t: same math, different rounding
+    np.testing.assert_allclose(
+        np.asarray(hr.t)[m], np.asarray(hp.t)[m], rtol=2e-4, atol=2e-5
+    )
+    # prim may differ only where t ties (coincident surfaces): those are
+    # legitimate alternative nearest hits, not kernel errors
+    pr, pp = np.asarray(hr.prim)[m], np.asarray(hp.prim)[m]
+    tr, tp_ = np.asarray(hr.t)[m], np.asarray(hp.t)[m]
+    mismatch = pr != pp
+    real_mismatch = mismatch & (np.abs(tr - tp_) > 1e-4 * np.maximum(tr, 1))
+    assert real_mismatch.mean() < 0.002, (
+        f"non-tie prim mismatch rate {real_mismatch.mean():.4f}"
+    )
+    mm = m & (np.asarray(hr.prim) == np.asarray(hp.prim))
+    np.testing.assert_allclose(
+        np.asarray(hr.u)[mm], np.asarray(hp.u)[mm], rtol=1e-2, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(hr.v)[mm], np.asarray(hp.v)[mm], rtol=1e-2, atol=2e-3
+    )
+
+    occ_r = np.asarray(ref.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
+    occ_p = np.asarray(pk.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
+    np.testing.assert_array_equal(occ_r, occ_p)
