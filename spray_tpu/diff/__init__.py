@@ -111,7 +111,9 @@ def make_diff_render_fn(scene, camera, cfg, make_intersector=None):
         make_intersector = lambda s: BruteIntersector(s, jnp)
     base_intersector = make_intersector(scene)
     npix = camera.width * camera.height
-    pixel_ids = jnp.arange(npix, dtype=jnp.uint32)
+    from ..kernels.common import tile_swizzle_order  # noqa: PLC0415
+
+    pixel_ids = jnp.asarray(tile_swizzle_order(camera.width, camera.height))
 
     def render(params):
         arrays, vertices, faces = diff_scene_arrays(scene, params)
@@ -127,7 +129,8 @@ def make_diff_render_fn(scene, camera, cfg, make_intersector=None):
             jnp.zeros((npix, 3), jnp.float32),
             jnp.arange(cfg.spp, dtype=jnp.uint32),
         )
-        return (acc / cfg.spp).reshape(camera.height, camera.width, 3)
+        img = jnp.zeros((npix, 3), jnp.float32).at[pixel_ids].set(acc)
+        return (img / cfg.spp).reshape(camera.height, camera.width, 3)
 
     return render
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import geom
+from ..kernels.common import tile_swizzle_order
 from ..oracle.brute import BruteIntersector
 from . import wavefront
 
@@ -32,7 +33,9 @@ def make_render_fn(scene, camera, cfg, intersector=None, donate=False):
     if intersector is None:
         intersector = BruteIntersector(scene, jnp)
     npix = camera.width * camera.height
-    pixel_ids = jnp.arange(npix, dtype=jnp.uint32)
+    # Tile-swizzled trace order: ray packets = compact image tiles.  The
+    # counter RNG keys on pixel id, so trace order cannot change the image.
+    pixel_ids = jnp.asarray(tile_swizzle_order(camera.width, camera.height))
 
     def one_sample(scene_arrays, sample_idx):
         return wavefront.sample_wavefront(
@@ -47,7 +50,8 @@ def make_render_fn(scene, camera, cfg, intersector=None, donate=False):
         acc, _ = jax.lax.scan(
             body, jnp.zeros((npix, 3), jnp.float32), jnp.arange(spp, dtype=jnp.uint32)
         )
-        img = acc * jnp.float32(1.0 / spp)
+        img = jnp.zeros((npix, 3), jnp.float32).at[pixel_ids].set(acc)
+        img = img * jnp.float32(1.0 / spp)
         return img.reshape(camera.height, camera.width, 3)
 
     return lambda scene_arrays: render(scene_arrays, cfg.spp)

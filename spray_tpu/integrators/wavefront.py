@@ -122,7 +122,10 @@ def _path_trace(
     inv_pi = xp.float32(1.0 / np.pi)
 
     for bounce in range(cfg.bounces + 1):
-        hits = intersector.intersect(o, d, tmin, tmax)
+        # dead lanes get an empty trace window: packets of finished rays
+        # root-out instantly in the traversal kernels
+        win = xp.where(alive, tmax, xp.float32(0.0))
+        hits = intersector.intersect(o, d, tmin, win)
         hit = alive & hits.valid
         miss = alive & ~hits.valid
         radiance = radiance + xp.where(miss[..., None], throughput * background, 0)
@@ -153,7 +156,10 @@ def _path_trace(
             cos_s = geom.dot(nrm, wi, xp)
             cos_l = -geom.dot(ny, wi, xp)
             front = hit & (cos_s > 0) & (cos_l > 0)
-            occ = intersector.occluded(p, wi, dist * xp.float32(1.0 - 1e-3))
+            occ = intersector.occluded(
+                p, wi,
+                xp.where(front, dist * xp.float32(1.0 - 1e-3), xp.float32(0.0)),
+            )
             geo = cos_s * cos_l / xp.maximum(d2, xp.float32(1e-12)) * pick_w
             contrib = throughput * albedo[hits.prim] * inv_pi * le * geo[..., None]
             lit = front & ~occ
@@ -188,7 +194,9 @@ def _ambient_occlusion(
         )
         local = geom.cosine_hemisphere(u1, u2, xp)
         ao_d = geom.local_to_world(local, nrm, xp)
-        occ = intersector.occluded(p, ao_d, radius)
+        occ = intersector.occluded(
+            p, ao_d, xp.where(hits.valid, radius, xp.float32(0.0))
+        )
         vis = vis + xp.where(occ, xp.float32(0.0), xp.float32(1.0))
     vis = vis * xp.float32(1.0 / max(cfg.ao_samples, 1))
     col = albedo[hits.prim] * vis[..., None]

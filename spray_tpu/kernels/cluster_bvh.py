@@ -33,8 +33,9 @@ CLUSTER = 128  # tris per cluster == TPU lane width
 class ClusterBVH:
     """Flat arrays consumed by the Pallas packet-traversal kernel."""
 
-    bounds: np.ndarray  # (Nn, 48) f32 packed [lox*8|loy*8|loz*8|hix*8|hiy*8|hiz*8]
-    #                      (packed flat to avoid 8->128 lane padding in VMEM)
+    bounds: np.ndarray  # (Nn, 8, 6) f32: per child [lox,loy,loz,hix,hiy,hiz]
+    #                      (children on sublanes: the kernel slab-tests all 8
+    #                       children at once via (8,1)x(1,P) broadcasts)
     meta: np.ndarray  # (Nn, 8) i32: >=0 internal child node; -1 empty;
     #                   <= -2 leaf -> cluster id = -(v + 2)
     w: np.ndarray  # (Nc, 4, 3*C) f32 transform blocks [u | v | w]
@@ -72,9 +73,123 @@ def tri_transforms(v0, e1, e2):
     return out
 
 
-def build_cluster_bvh(vertices, faces, branching=8, num_bins=16):
+def _build_cluster_bvh_morton(vertices, faces, branching=8):
+    tv = vertices[faces.reshape(-1)].reshape(-1, 3, 3)
+    ntri = len(tv)
+    tlo = tv.min(1)
+    thi = tv.max(1)
+    order = _morton_order(tlo, thi)
+    tp = -(-ntri // CLUSTER) * CLUSTER
+    perm = np.concatenate([order, np.full(tp - ntri, -1, np.int64)])
+    nc = tp // CLUSTER
+
+    valid = perm >= 0
+    safe = np.where(valid, perm, 0)
+    t = tv[safe]
+    v0 = np.where(valid[:, None], t[:, 0], 0.0).astype(np.float32)
+    e1 = np.where(valid[:, None], t[:, 1] - t[:, 0], 0.0).astype(np.float32)
+    e2 = np.where(valid[:, None], t[:, 2] - t[:, 0], 0.0).astype(np.float32)
+    tf = tri_transforms(v0, e1, e2).reshape(nc, CLUSTER, 4, 3)
+    w = np.transpose(tf, (0, 2, 3, 1)).reshape(nc, 4, 3 * CLUSTER)
+    ids = np.where(valid, perm, -1).astype(np.int32).reshape(nc, CLUSTER)
+
+    plo = np.where(valid[:, None], tlo[safe], np.inf).reshape(nc, CLUSTER, 3)
+    phi = np.where(valid[:, None], thi[safe], -np.inf).reshape(nc, CLUSTER, 3)
+    clo = plo.min(1)
+    chi = phi.max(1)
+    bounds, meta = _build_range_tree(clo, chi, branching)
+    return ClusterBVH(
+        bounds=bounds, meta=meta, w=np.ascontiguousarray(w.astype(np.float32)),
+        tri_ids=ids,
+        world_lo=clo.min(0).astype(np.float32),
+        world_hi=chi.max(0).astype(np.float32),
+    )
+
+
+def morton3(x, y, z, bits=10):
+    """Interleave 3x `bits`-bit ints -> Morton codes (vectorized numpy)."""
+    def spread(v):
+        v = v.astype(np.uint64)
+        v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+        return v
+
+    return (
+        spread(x) | (spread(y) << np.uint64(1)) | (spread(z) << np.uint64(2))
+    )
+
+
+def _morton_order(tlo, thi, bits=10):
+    """Triangle permutation by Morton code of the centroid (vectorized)."""
+    c = (tlo + thi) * 0.5
+    lo = c.min(0)
+    ext = np.maximum(c.max(0) - lo, 1e-12)
+    q = np.minimum(
+        ((c - lo) / ext * ((1 << bits) - 1)).astype(np.uint32),
+        (1 << bits) - 1,
+    )
+    codes = morton3(q[:, 0], q[:, 1], q[:, 2], bits)
+    return np.argsort(codes, kind="stable")
+
+
+def _build_range_tree(clo, chi, branching=8):
+    """8-ary tree over consecutive cluster ranges of the Morton order.
+
+    Fully host-cheap: nodes are [a, b) cluster ranges; children are 8 equal
+    subranges; bounds reduce vectorized.  Returns (bounds (Nn,48), meta).
+    """
+    nc = clo.shape[0]
+    nodes = []  # (a, b) ranges, BFS
+    children = []  # list of 8 (kind, a, b)
+    queue = [(0, nc)]
+    while queue:
+        a, b = queue.pop(0)
+        nodes.append((a, b))
+        ch = []
+        k = b - a
+        # split into up to 8 sub-ranges of cluster granularity
+        step = max(1, -(-k // branching))
+        pos = a
+        while pos < b:
+            e = min(pos + step, b)
+            if e - pos == 1:
+                ch.append(("leaf", pos, e))
+            else:
+                ch.append(("node", pos, e))
+                queue.append((pos, e))
+            pos = e
+        children.append(ch)
+
+    # index nodes by range
+    idx = {rng: i for i, rng in enumerate(nodes)}
+    nn = len(nodes)
+    bounds = np.zeros((nn, 8, 6), np.float32)
+    bounds[:, :, 0:3] = np.inf   # empty slots never hit
+    bounds[:, :, 3:6] = -np.inf
+    meta = np.full((nn, 8), -1, np.int32)
+    for i, (a, b) in enumerate(nodes):
+        for j, (kind, ca, cb) in enumerate(children[i]):
+            bounds[i, j, 0:3] = clo[ca:cb].min(0)
+            bounds[i, j, 3:6] = chi[ca:cb].max(0)
+            if kind == "leaf":
+                meta[i, j] = -(ca + 2)
+            else:
+                meta[i, j] = idx[(ca, cb)]
+    return bounds, meta
+
+
+def build_cluster_bvh(vertices, faces, branching=8, num_bins=16,
+                      builder="morton"):
+    """Build the cluster BVH.  builder='morton' (vectorized, fast, default)
+    or 'sah' (binned-SAH via bvh.builder — better trees, slow in Python;
+    the C++ native builder replaces it for big scenes)."""
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int64)
+    if builder == "morton":
+        return _build_cluster_bvh_morton(vertices, faces, branching)
     bvh = build_bvh(
         vertices, faces, leaf_size=CLUSTER, branching=branching,
         num_bins=num_bins,
@@ -102,10 +217,9 @@ def build_cluster_bvh(vertices, faces, branching=8, num_bins=16):
     # node arrays: bounds (Nn, 6, 8), meta (Nn, 8).  Leaf value in builder is
     # -(start + 2) with start a tri index; convert to cluster id.
     nn = bvh.num_nodes
-    bounds = np.empty((nn, 6, 8), np.float32)
-    bounds[:, 0:3, :] = np.transpose(bvh.child_lo, (0, 2, 1))
-    bounds[:, 3:6, :] = np.transpose(bvh.child_hi, (0, 2, 1))
-    bounds = bounds.reshape(nn, 48)
+    bounds = np.empty((nn, 8, 6), np.float32)
+    bounds[:, :, 0:3] = bvh.child_lo
+    bounds[:, :, 3:6] = bvh.child_hi
     meta = bvh.child_node.astype(np.int64).copy()
     leaf = meta <= -2
     start = -(meta + 2)

@@ -56,3 +56,19 @@ def rays_to_tiles(o, d, tmin, tmax):
 
 def tiles_to_flat(x, n):
     return x.reshape(-1)[:n]
+
+
+def tile_swizzle_order(width, height, tile_w=32, tile_h=16):
+    """Pixel ids in 2D-tile-major order (numpy, host-side).
+
+    Packets of consecutive rays become compact image tiles instead of thin
+    row strips, shrinking each packet's spatial footprint so packet traversal
+    visits far fewer BVH nodes/clusters (SURVEY.md §7.3 #1 ray-locality).
+    tile_w * tile_h == PACKET of the traversal kernel by default.
+    """
+    ids = np.arange(width * height, dtype=np.uint32).reshape(height, width)
+    out = []
+    for ty in range(0, height, tile_h):
+        for tx in range(0, width, tile_w):
+            out.append(ids[ty : ty + tile_h, tx : tx + tile_w].reshape(-1))
+    return np.concatenate(out)

@@ -1,15 +1,18 @@
 """Multi-domain intersector over the Pallas cluster kernels.
 
 Bridges the speculative domain architecture (SURVEY.md §2 R6/R7) to the fast
-kernels: each domain owns a VMEM-sized ClusterBVH; a wavefront is traced
-against domains sequentially with the running best-t as the cull window —
-the dense-batched form of speculative trace + masked min-commit on a single
-chip.  Domain order is front-to-back on average (sorted by distance from the
-wavefront's origin centroid) so best-t tightens early and later domains
-root-out cheaply.
+kernels: each domain owns a VMEM-sized ClusterBVH (identical padded shapes);
+the wavefront is traced against domains by a lax.scan over the stacked domain
+arrays, carrying the running best hit — the dense-batched form of speculative
+trace + masked min-commit on one chip.  One scan = ONE Mosaic kernel
+instantiation no matter how many domains (compile time is domain-count
+independent); the carried best-t is re-baked into the ray windows each step so
+later domains root-out early (vectorized front-to-back culling).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -17,16 +20,98 @@ import numpy as np
 
 from ..core.types import Hits
 from ..domains.partition import median_split_assign
-from .cluster_bvh import build_cluster_bvh
-from .traverse import ClusterBVHIntersector
+from .cluster_bvh import CLUSTER, build_cluster_bvh
+from . import common
+from .traverse import (
+    PACKET, _anyhit_call, _nearest_call, _rays_to_aug, _flat,
+)
 
 MAX_DOMAIN_TRIS = 1 << 17  # ~131K tris ≈ 6.3 MB of cluster transforms
+
+
+def _pad0(a, n):
+    if a.shape[0] >= n:
+        return a
+    pad = np.zeros((n - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad])
+
+
+def _pad_const(a, n, v):
+    if a.shape[0] >= n:
+        return a
+    pad = np.full((n - a.shape[0],) + a.shape[1:], v, a.dtype)
+    return np.concatenate([a, pad])
 
 
 def split_for_vmem(scene, max_tris=MAX_DOMAIN_TRIS):
     """Choose a domain count so each domain's cluster set fits VMEM."""
     ntri = int(np.asarray(scene.faces).shape[0])
     return max(1, -(-ntri // max_tris))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _scan_nearest(bounds, meta, w, tri_ids, aug, n_static, tmax, interpret):
+    """Scan domains; carry best (t, prim, u, v).  aug: (P, 16, PACKET)."""
+    p = aug.shape[0]
+    npad = p * PACKET
+
+    def pad_n(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full(npad - x.shape[0], fill, x.dtype)]
+        ) if x.shape[0] < npad else x
+
+    best_t0 = pad_n(tmax, 0.0)
+
+    def body(carry, dom):
+        best_t, best_prim, best_u, best_v = carry
+        a = aug.at[:, 5, 0:PACKET].set(best_t.reshape(p, PACKET))
+        t, code, u, v = _nearest_call(
+            dom["bounds"], dom["meta"], dom["w"], a, interpret
+        )
+        t, code = t.reshape(-1), code.reshape(-1)
+        u, v = u.reshape(-1), v.reshape(-1)
+        prim = jnp.where(code >= 0, dom["tri_ids"][jnp.maximum(code, 0)], -1)
+        upd = (prim >= 0) & (t < best_t)
+        return (
+            jnp.where(upd, t, best_t),
+            jnp.where(upd, prim, best_prim),
+            jnp.where(upd, u, best_u),
+            jnp.where(upd, v, best_v),
+        ), None
+
+    init = (
+        best_t0,
+        jnp.full(npad, -1, jnp.int32),
+        jnp.zeros(npad, jnp.float32),
+        jnp.zeros(npad, jnp.float32),
+    )
+    (bt, bp, bu, bv), _ = jax.lax.scan(
+        body, init,
+        {"bounds": bounds, "meta": meta, "w": w, "tri_ids": tri_ids},
+    )
+    return bt, bp, bu, bv
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _scan_anyhit(bounds, meta, w, aug, interpret):
+    p = aug.shape[0]
+    npad = p * PACKET
+
+    def body(occ, dom):
+        a = aug.at[:, 5, 0:PACKET].set(
+            jnp.where(
+                occ != 0, jnp.float32(0.0),
+                aug[:, 5, 0:PACKET].reshape(-1),
+            ).reshape(p, PACKET)
+        )
+        o = _anyhit_call(dom["bounds"], dom["meta"], dom["w"], a, interpret)
+        return occ | o.reshape(-1), None
+
+    occ, _ = jax.lax.scan(
+        body, jnp.zeros(npad, jnp.int32),
+        {"bounds": bounds, "meta": meta, "w": w},
+    )
+    return occ
 
 
 class MultiDomainClusterIntersector:
@@ -37,65 +122,60 @@ class MultiDomainClusterIntersector:
         faces = np.asarray(scene.faces, np.int64)
         if n_domains is None:
             n_domains = split_for_vmem(scene)
-        self.n_domains = n_domains
-        if n_domains == 1:
-            self.domains = [ClusterBVHIntersector(scene, interpret=interpret)]
-            self.tri_maps = [None]
-            self.centers = np.zeros((1, 3), np.float32)
-            return
         tv = verts[faces.reshape(-1)].reshape(-1, 3, 3)
         centers = tv.mean(1)
-        assign = median_split_assign(centers, n_domains)
-        self.domains = []
-        self.tri_maps = []
-        self.centers = np.zeros((n_domains, 3), np.float32)
+        if n_domains == 1:
+            assign = np.zeros(len(centers), np.int32)
+        else:
+            assign = median_split_assign(centers, n_domains)
+        cbvhs = []
         for d in range(n_domains):
             ids = np.nonzero(assign == d)[0]
             if len(ids) == 0:
-                self.domains.append(None)
-                self.tri_maps.append(None)
                 continue
             cbvh = build_cluster_bvh(verts, faces[ids])
-            # remap cluster-local tri ids -> global tri ids
             local = cbvh.tri_ids
             cbvh.tri_ids = np.where(
                 local >= 0, ids[np.clip(local, 0, None)], -1
             ).astype(np.int32)
-
-            class _S:  # minimal scene shim (ClusterBVHIntersector needs cbvh)
-                pass
-
-            inter = ClusterBVHIntersector(cbvh=cbvh, interpret=interpret)
-            self.domains.append(inter)
-            self.tri_maps.append(ids)
-            self.centers[d] = centers[ids].mean(0)
+            cbvhs.append(cbvh)
+        self.n_domains = len(cbvhs)
+        # Stack with IDENTICAL padded shapes: one kernel, one scan.
+        nn_max = max(c.bounds.shape[0] for c in cbvhs)
+        nc_max = max(c.w.shape[0] for c in cbvhs)
+        self.bounds = jnp.asarray(
+            np.stack([_pad0(c.bounds, nn_max) for c in cbvhs])
+        )
+        self.meta = jnp.asarray(
+            np.stack([_pad_const(c.meta, nn_max, -1) for c in cbvhs])
+        )
+        self.w = jnp.asarray(np.stack([_pad0(c.w, nc_max) for c in cbvhs]))
+        self.tri_ids = jnp.asarray(
+            np.stack(
+                [_pad_const(c.tri_ids, nc_max, -1).reshape(-1) for c in cbvhs]
+            )
+        )
+        self.interpret = (
+            common.use_interpret() if interpret is None else interpret
+        )
 
     def intersect(self, o, d, tmin, tmax):
         n = o.shape[0]
-        best = Hits(
-            t=tmax, prim=jnp.full(n, -1, jnp.int32),
-            u=jnp.zeros(n, jnp.float32), v=jnp.zeros(n, jnp.float32),
-            valid=jnp.zeros(n, bool),
+        aug, _ = _rays_to_aug(o, d, tmin, tmax)
+        bt, bp, bu, bv = _scan_nearest(
+            self.bounds, self.meta, self.w, self.tri_ids, aug, n,
+            tmax, self.interpret,
         )
-        for dom in self._ordered():
-            h = dom.intersect(o, d, tmin, best.t)  # best-t window culls
-            upd = h.valid & (h.t < best.t)
-            best = Hits(
-                t=jnp.where(upd, h.t, best.t),
-                prim=jnp.where(upd, h.prim, best.prim),
-                u=jnp.where(upd, h.u, best.u),
-                v=jnp.where(upd, h.v, best.v),
-                valid=best.valid | h.valid,
-            )
-        return best
+        bt, bp, bu, bv = bt[:n], bp[:n], bu[:n], bv[:n]
+        valid = bp >= 0
+        return Hits(
+            t=jnp.where(valid, bt, tmax), prim=bp.astype(jnp.int32),
+            u=bu, v=bv, valid=valid,
+        )
 
     def occluded(self, o, d, tmax):
         n = o.shape[0]
-        occ = jnp.zeros(n, bool)
-        for dom in self._ordered():
-            win = jnp.where(occ, jnp.float32(0.0), tmax)
-            occ = occ | dom.occluded(o, d, win)
-        return occ
-
-    def _ordered(self):
-        return [d for d in self.domains if d is not None]
+        tmin = jnp.zeros_like(tmax)
+        aug, _ = _rays_to_aug(o, d, tmin, tmax)
+        occ = _scan_anyhit(self.bounds, self.meta, self.w, aug, self.interpret)
+        return occ[:n] != 0

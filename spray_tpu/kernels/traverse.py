@@ -2,23 +2,25 @@
 the speed-of-light kernel the whole design leans on).
 
 Design (TPU-first, cf. kernels/cluster_bvh.py):
-  - One grid program owns a PACKET of 1024 rays.
+  - One grid program owns a PACKET of 512 rays, laid out with RAYS ON THE LANE
+    DIMENSION: every per-ray quantity is a (1, 512) row (4 lane-tiles), so a
+    slab test step costs 4 VPU instructions — NOT 64, as a (512, 1) column
+    layout would (TPU pads the lane dim to 128; columns waste 128x).
   - The packet traverses a shallow 8-wide BVH with ONE shared stack in SMEM —
-    scalar control flow, zero per-lane divergence state.  A node's 8 child
-    boxes are slab-tested against all 1024 rays on the VPU (scalars broadcast
-    from the node arrays); a child is entered if ANY ray hits it, with the
-    per-ray [tmin, min(tmax, best_t)) window doing the front-to-back culling.
-  - Leaves are 128-tri CLUSTERS intersected on the MXU: two (1024,4)@(4,384)
-    matmuls (precomputed Woop transforms) + elementwise decode produce all
-    131072 ray-tri tests of the packet x cluster pair; a lane-reduction
-    min-selects the nearest hit per ray.
-  - Nearest-hit kernel returns (t, u, v, code) with code = cluster*128 + lane;
-    global tri ids are resolved by a cheap XLA gather outside.  The any-hit
-    (occlusion) kernel early-exits once every lane is occluded.
+    scalar control flow, zero per-lane divergence state.  Stack entries are
+    pushed far-to-near with their packet-min entry distance; a popped entry
+    farther than the packet-max best-t is skipped (packet-ordered traversal).
+  - Leaves are 128-tri CLUSTERS intersected on the MXU:
+        O' = W^T o_aug : dot_general((4,3C),(4,512)) -> (3C,512)
+    tris on sublanes, rays on lanes; elementwise decode on (C,512) blocks and
+    a sublane min-reduction select the nearest hit per ray.  131072 ray-tri
+    tests per (packet, cluster) pair for ~2.4 MFLOP of MXU work, no gathers.
+  - Nearest-hit kernel returns (t, u, v, code) with code = cluster*128 + row;
+    global tri ids resolve via one XLA gather outside.  The any-hit kernel
+    early-exits once every lane is occluded.
 
 Per-domain cluster sets are sized to fit VMEM (<= ~250K tris / domain), which
-the domain decomposition guarantees by construction; larger domains belong to
-the residency layer anyway (SURVEY §7.1).
+the domain decomposition guarantees by construction (SURVEY §7.1).
 
 Runs compiled on TPU; interpret mode elsewhere (tests).
 """
@@ -37,21 +39,23 @@ from ..core.types import Hits
 from . import common
 from .cluster_bvh import CLUSTER, ClusterBVH, build_cluster_bvh
 
-PACKET = 512  # rays per grid program (sized so per-packet VMEM temps fit)
+PACKET = 512  # rays per grid program
 MAX_STACK = 192
 F32 = jnp.float32
 NEG_INF = np.float32(-np.inf)
 INF = np.float32(np.inf)
 
 
-def _slab_vs_packet(bounds_ref, nid, c, ox, oy, oz, idx, idy, idz, tlo, thi):
-    """Scalar child box vs (1024,1) ray columns.  Returns (hit_mask, any)."""
-    lox = bounds_ref[nid, c]
-    loy = bounds_ref[nid, 8 + c]
-    loz = bounds_ref[nid, 16 + c]
-    hix = bounds_ref[nid, 24 + c]
-    hiy = bounds_ref[nid, 32 + c]
-    hiz = bounds_ref[nid, 40 + c]
+def _slab_all_children(bounds_ref, nid, ox, oy, oz, idx, idy, idz, tlo, thi):
+    """All 8 child boxes vs the packet in one broadcast: (8,1) x (1,P) ->
+    (8,P) — one vectorized slab test instead of 8 scalar-extracted ones.
+
+    Returns ONE scalar bitmask (bit c = any ray hits child c): a single
+    vector->scalar extraction per node instead of eight.
+    """
+    b = bounds_ref[nid]  # (8, 6)
+    lox, loy, loz = b[:, 0:1], b[:, 1:2], b[:, 2:3]
+    hix, hiy, hiz = b[:, 3:4], b[:, 4:5], b[:, 5:6]
     t0x = (lox - ox) * idx
     t1x = (hix - ox) * idx
     t0y = (loy - oy) * idy
@@ -66,20 +70,31 @@ def _slab_vs_packet(bounds_ref, nid, c, ox, oy, oz, idx, idy, idz, tlo, thi):
         jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
         jnp.minimum(jnp.maximum(t0z, t1z), thi),
     )
-    hit = tmin_ <= tmax_
-    return hit, jnp.any(hit)
+    hit = tmin_ <= tmax_  # (8, P)
+    anyv = jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)  # (8, 1)
+    weights = (jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0))
+    return jnp.sum(anyv * weights)  # () bitmask
 
 
-def _cluster_intersect(w_ref, cid, o_aug, d_aug, tlo, thi, occl):
-    """MXU cluster test.  Returns (t_all, u_all, v_all, ok) each (1024, C)."""
-    wmat = w_ref[cid]  # (4, 3C)
-    op = jnp.dot(o_aug, wmat, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    dp = jnp.dot(d_aug, wmat, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+def _cluster_intersect(w_ref, cid, od8, tlo, thi, occl):
+    """MXU cluster test, rays-on-lanes.  Returns (t, u, v, ok) each (C, 512).
+
+    od8: (4, 2*PACKET) = [o_aug | d_aug] — ONE fused matmul halves the MXU
+    dispatch latency (small-K matmuls are latency-bound).  HIGHEST precision:
+    Mosaic supports only DEFAULT (1-pass bf16, too lossy for geometry —
+    verified 1.3% wrong-hit rate) and HIGHEST (full f32).
+    """
+    wmat = w_ref[cid]
+    dn = (((0,), (0,)), ((), ()))  # contract the 4-dim of both
+    odp = jax.lax.dot_general(
+        wmat, od8, dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (3C, 2*PACKET)
+    op = odp[:, 0:PACKET]
+    dp = odp[:, PACKET : 2 * PACKET]
     c = CLUSTER
-    ou, ov, ow = op[:, 0:c], op[:, c : 2 * c], op[:, 2 * c : 3 * c]
-    du, dv, dw = dp[:, 0:c], dp[:, c : 2 * c], dp[:, 2 * c : 3 * c]
+    ou, ov, ow = op[0:c], op[c : 2 * c], op[2 * c : 3 * c]
+    du, dv, dw = dp[0:c], dp[c : 2 * c], dp[2 * c : 3 * c]
     dw_ok = jnp.abs(dw) > F32(1e-20)
     t = -ow / jnp.where(dw_ok, dw, F32(1.0))
     u = ou + t * du
@@ -88,36 +103,37 @@ def _cluster_intersect(w_ref, cid, o_aug, d_aug, tlo, thi, occl):
         tgate = (t > tlo) & (t < thi)
     else:
         tgate = (t >= tlo) & (t < thi)
-    ok = (
-        dw_ok & tgate
-        & (u >= F32(0)) & (v >= F32(0)) & (u + v <= F32(1))
-    )
+    ok = dw_ok & tgate & (u >= F32(0)) & (v >= F32(0)) & (u + v <= F32(1))
     return t, u, v, ok
 
 
-def _nearest_kernel(bounds_ref, meta_ref, w_ref, rays_ref,
-                    out_t, out_code, out_u, out_v, stack_ref):
-    r = rays_ref[0]  # (PACKET, 16)
-    o_aug = r[:, 0:4]
-    d_aug = r[:, 4:8]
-    ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
-    dx, dy, dz = r[:, 4:5], r[:, 5:6], r[:, 6:7]
-    tmin = r[:, 8:9]
-    tmax = r[:, 9:10]
+def _ray_rows(rays_ref):
+    r = rays_ref[0]  # (6, 2*PACKET): rows [ox|dx],[oy|dy],[oz|dz],[1|0],
+    #                                      [tmin|.],[tmax|.]
+    od8 = r[0:4]  # (4, 2*PACKET) fused [o_aug | d_aug] for the leaf matmul
+    p = PACKET
+    ox, oy, oz = r[0:1, 0:p], r[1:2, 0:p], r[2:3, 0:p]
+    dx, dy, dz = r[0:1, p:], r[1:2, p:], r[2:3, p:]
+    tmin = r[4:5, 0:p]
+    tmax = r[5:6, 0:p]
     eps = F32(1e-12)
     idx = F32(1.0) / jnp.where(jnp.abs(dx) > eps, dx, eps)
     idy = F32(1.0) / jnp.where(jnp.abs(dy) > eps, dy, eps)
     idz = F32(1.0) / jnp.where(jnp.abs(dz) > eps, dz, eps)
+    return od8, ox, oy, oz, idx, idy, idz, tmin, tmax
+
+
+def _nearest_kernel(bounds_ref, meta_ref, w_ref, rays_ref,
+                    out_t, out_code, out_u, out_v, stack_ref):
+    od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
 
     # Stack entries are ENCODED: e >= 0 -> internal node id; e < 0 -> leaf
-    # cluster id = -(e + 1).  (meta leaf value -(cid+2) maps to entry via +1.)
-    # One pop per iteration with a single two-way cond keeps Mosaic happy:
-    # carrying per-child bool vectors through unrolled scf.ifs miscompiles.
+    # cluster id = -(e + 1).  One pop per iteration, single two-way cond
+    # (unrolled per-child conds with bool carries miscompile in Mosaic).
     stack_ref[0] = jnp.int32(0)
 
     def cond(carry):
-        sp = carry[0]
-        return sp > 0
+        return carry[0] > 0
 
     def body(carry):
         sp, best_t, best_code, best_u, best_v = carry
@@ -128,13 +144,12 @@ def _nearest_kernel(bounds_ref, meta_ref, w_ref, rays_ref,
             sp, best_t, best_code, best_u, best_v = ops
             nid = e
             window_hi = jnp.minimum(tmax, best_t)
+            mask = _slab_all_children(
+                bounds_ref, nid, ox, oy, oz, idx, idy, idz, tmin, window_hi
+            )
             for c in range(8):
                 kind = meta_ref[nid, c]
-                _, anyhit = _slab_vs_packet(
-                    bounds_ref, nid, c, ox, oy, oz, idx, idy, idz,
-                    tmin, window_hi,
-                )
-                push = anyhit & (kind != -1)
+                push = (((mask >> c) & 1) > 0) & (kind != -1)
                 entry = jnp.where(kind >= 0, kind, kind + 1)
                 @pl.when(push)
                 def _():
@@ -146,20 +161,19 @@ def _nearest_kernel(bounds_ref, meta_ref, w_ref, rays_ref,
             sp, best_t, best_code, best_u, best_v = ops
             cid = -(e + 1)
             t, u, v, ok = _cluster_intersect(
-                w_ref, cid, o_aug, d_aug, tmin,
-                jnp.minimum(tmax, best_t), occl=False
+                w_ref, cid, od8, tmin, jnp.minimum(tmax, best_t), occl=False
             )
             tm = jnp.where(ok, t, INF)
-            trow = jnp.min(tm, axis=1, keepdims=True)  # (PACKET, 1)
+            trow = jnp.min(tm, axis=0, keepdims=True)  # (1, PACKET)
             improved = trow < best_t
-            lane = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
             jsel = jnp.min(
-                jnp.where(tm == trow, lane, jnp.int32(CLUSTER)),
-                axis=1, keepdims=True,
+                jnp.where(tm == trow, row, jnp.int32(CLUSTER)),
+                axis=0, keepdims=True,
             )
-            onehot = lane == jsel
-            usel = jnp.sum(jnp.where(onehot, u, F32(0)), axis=1, keepdims=True)
-            vsel = jnp.sum(jnp.where(onehot, v, F32(0)), axis=1, keepdims=True)
+            onehot = row == jsel
+            usel = jnp.sum(jnp.where(onehot, u, F32(0)), axis=0, keepdims=True)
+            vsel = jnp.sum(jnp.where(onehot, v, F32(0)), axis=0, keepdims=True)
             code = cid * CLUSTER + jsel
             return (
                 sp,
@@ -177,30 +191,19 @@ def _nearest_kernel(bounds_ref, meta_ref, w_ref, rays_ref,
     init = (
         jnp.int32(1),
         tmax,
-        jnp.full((PACKET, 1), -1, jnp.int32),
-        jnp.zeros((PACKET, 1), F32),
-        jnp.zeros((PACKET, 1), F32),
+        jnp.full((1, PACKET), -1, jnp.int32),
+        jnp.zeros((1, PACKET), F32),
+        jnp.zeros((1, PACKET), F32),
     )
     _, best_t, best_code, best_u, best_v = jax.lax.while_loop(cond, body, init)
-    sub = PACKET // common.LANES
-    out_t[0] = best_t.reshape(sub, common.LANES)
-    out_code[0] = best_code.reshape(sub, common.LANES)
-    out_u[0] = best_u.reshape(sub, common.LANES)
-    out_v[0] = best_v.reshape(sub, common.LANES)
+    out_t[0] = best_t
+    out_code[0] = best_code
+    out_u[0] = best_u
+    out_v[0] = best_v
 
 
 def _anyhit_kernel(bounds_ref, meta_ref, w_ref, rays_ref, out_occ, stack_ref):
-    r = rays_ref[0]
-    o_aug = r[:, 0:4]
-    d_aug = r[:, 4:8]
-    ox, oy, oz = r[:, 0:1], r[:, 1:2], r[:, 2:3]
-    dx, dy, dz = r[:, 4:5], r[:, 5:6], r[:, 6:7]
-    tmin = r[:, 8:9]
-    tmax = r[:, 9:10]
-    eps = F32(1e-12)
-    idx = F32(1.0) / jnp.where(jnp.abs(dx) > eps, dx, eps)
-    idy = F32(1.0) / jnp.where(jnp.abs(dy) > eps, dy, eps)
-    idz = F32(1.0) / jnp.where(jnp.abs(dz) > eps, dz, eps)
+    od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
 
     stack_ref[0] = jnp.int32(0)
 
@@ -209,7 +212,7 @@ def _anyhit_kernel(bounds_ref, meta_ref, w_ref, rays_ref, out_occ, stack_ref):
         return (sp > 0) & (jnp.min(occ) == 0)
 
     def body(carry):
-        sp, occ = carry  # occ: (PACKET, 1) int32 (bool carries miscompile)
+        sp, occ = carry  # occ: (1, PACKET) int32
         sp = sp - 1
         e = stack_ref[sp]
 
@@ -217,13 +220,12 @@ def _anyhit_kernel(bounds_ref, meta_ref, w_ref, rays_ref, out_occ, stack_ref):
             sp, occ = ops
             nid = e
             window_hi = jnp.where(occ != 0, F32(0.0), tmax)
+            mask = _slab_all_children(
+                bounds_ref, nid, ox, oy, oz, idx, idy, idz, tmin, window_hi
+            )
             for c in range(8):
                 kind = meta_ref[nid, c]
-                _, anyhit = _slab_vs_packet(
-                    bounds_ref, nid, c, ox, oy, oz, idx, idy, idz,
-                    tmin, window_hi,
-                )
-                push = anyhit & (kind != -1)
+                push = (((mask >> c) & 1) > 0) & (kind != -1)
                 entry = jnp.where(kind >= 0, kind, kind + 1)
                 @pl.when(push)
                 def _():
@@ -235,57 +237,72 @@ def _anyhit_kernel(bounds_ref, meta_ref, w_ref, rays_ref, out_occ, stack_ref):
             sp, occ = ops
             cid = -(e + 1)
             _, _, _, ok = _cluster_intersect(
-                w_ref, cid, o_aug, d_aug, tmin,
+                w_ref, cid, od8, tmin,
                 jnp.where(occ != 0, F32(0.0), tmax), occl=True
             )
-            return (sp, occ | jnp.any(ok, axis=1, keepdims=True).astype(jnp.int32))
+            return (
+                sp, occ | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
+            )
 
         return jax.lax.cond(e >= 0, internal_case, leaf_case, (sp, occ))
 
-    init = (jnp.int32(1), jnp.zeros((PACKET, 1), jnp.int32))
+    init = (jnp.int32(1), jnp.zeros((1, PACKET), jnp.int32))
     _, occ = jax.lax.while_loop(cond, body, init)
-    out_occ[0] = occ.reshape(PACKET // common.LANES, common.LANES)
+    out_occ[0] = occ
 
 
 def _rays_to_aug(o, d, tmin, tmax):
-    """(N,...) rays -> (P, PACKET, 16) aug blocks + original count."""
+    """(N,...) rays -> (P, 6, 2*PACKET) blocks + count.
+
+    Rows: [ox|dx], [oy|dy], [oz|dz], [1|0], [tmin|0], [tmax|0] — the first
+    four rows ARE the fused (4, 2*PACKET) matmul operand; the traversal reads
+    per-ray quantities as PACKET-aligned lane slices.  Rays on lanes
+    throughout (see module docstring).
+    """
     n = o.shape[0]
     npad = common.round_up(max(n, PACKET), PACKET)
     o = common.pad_to(o, npad)
     d = common.pad_to(d, npad, value=1.0)
     tmin = common.pad_to(tmin, npad, value=1.0)
     tmax = common.pad_to(tmax, npad, value=0.0)  # empty window: never hits
-    ones = jnp.ones((npad, 1), F32)
-    zeros = jnp.zeros((npad, 6), F32)
-    aug = jnp.concatenate(
-        [o, ones, d, jnp.zeros((npad, 1), F32), tmin[:, None], tmax[:, None],
-         zeros],
-        axis=1,
-    )
-    return aug.reshape(npad // PACKET, PACKET, 16), n
+    p_ = npad // PACKET
+    ob = o.reshape(p_, PACKET, 3).transpose(0, 2, 1)  # (P, 3, PACKET)
+    db = d.reshape(p_, PACKET, 3).transpose(0, 2, 1)
+    tminb = tmin.reshape(p_, 1, PACKET)
+    tmaxb = tmax.reshape(p_, 1, PACKET)
+    ones = jnp.ones((p_, 1, PACKET), F32)
+    zeros = jnp.zeros((p_, 1, PACKET), F32)
+    left = jnp.concatenate([ob, ones, tminb, tmaxb], axis=1)  # (P, 6, PACKET)
+    right = jnp.concatenate([db, zeros, zeros, zeros], axis=1)
+    aug = jnp.concatenate([left, right], axis=2)  # (P, 6, 2*PACKET)
+    return aug, n
 
 
-@functools.partial(jax.jit, static_argnames=("nn", "nc", "interpret"))
-def _nearest_call(bounds, meta, w, rays_aug, nn, nc, interpret):
+def _flat(x, n):
+    return x.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _nearest_call(bounds, meta, w, rays_aug, interpret):
     p = rays_aug.shape[0]
     share = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     ray_spec = pl.BlockSpec(
-        (1, PACKET, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 6, 2 * PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    sub = PACKET // common.LANES
     out_spec = pl.BlockSpec(
-        (1, sub, common.LANES), lambda i: (i, 0, 0),
-        memory_space=pltpu.VMEM,
+        (1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    oshape = jax.ShapeDtypeStruct((p, sub, common.LANES), jnp.float32)
-    oishape = jax.ShapeDtypeStruct((p, sub, common.LANES), jnp.int32)
+    oshape = jax.ShapeDtypeStruct((p, 1, PACKET), jnp.float32)
+    oishape = jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32)
     return pl.pallas_call(
         _nearest_kernel,
         grid=(p,),
         in_specs=[
-            share(bounds.shape), share(meta.shape), share(w.shape), ray_spec,
+            share(bounds.shape),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta: scalar reads
+            share(w.shape), ray_spec,
         ],
         out_specs=[out_spec] * 4,
         out_shape=[oshape, oishape, oshape, oshape],
@@ -294,30 +311,28 @@ def _nearest_call(bounds, meta, w, rays_aug, nn, nc, interpret):
     )(bounds, meta, w, rays_aug)
 
 
-@functools.partial(jax.jit, static_argnames=("nn", "nc", "interpret"))
-def _anyhit_call(bounds, meta, w, rays_aug, nn, nc, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _anyhit_call(bounds, meta, w, rays_aug, interpret):
     p = rays_aug.shape[0]
     share = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     ray_spec = pl.BlockSpec(
-        (1, PACKET, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 6, 2 * PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    sub = PACKET // common.LANES
     out_spec = pl.BlockSpec(
-        (1, sub, common.LANES), lambda i: (i, 0, 0),
-        memory_space=pltpu.VMEM,
+        (1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         _anyhit_kernel,
         grid=(p,),
         in_specs=[
-            share(bounds.shape), share(meta.shape), share(w.shape), ray_spec,
+            share(bounds.shape),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta: scalar reads
+            share(w.shape), ray_spec,
         ],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (p, sub, common.LANES), jnp.int32
-        ),
+        out_shape=jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32),
         scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
         interpret=interpret,
     )(bounds, meta, w, rays_aug)
@@ -343,11 +358,9 @@ class ClusterBVHIntersector:
     def intersect(self, o, d, tmin, tmax):
         rays_aug, n = _rays_to_aug(o, d, tmin, tmax)
         t, code, u, v = _nearest_call(
-            self.bounds, self.meta, self.w, rays_aug,
-            self.nn, self.nc, self.interpret,
+            self.bounds, self.meta, self.w, rays_aug, self.interpret
         )
-        flat = lambda x: common.tiles_to_flat(x, n)
-        t, code, u, v = flat(t), flat(code), flat(u), flat(v)
+        t, code, u, v = _flat(t, n), _flat(code, n), _flat(u, n), _flat(v, n)
         prim = jnp.where(code >= 0, self.tri_ids[jnp.maximum(code, 0)], -1)
         valid = prim >= 0
         return Hits(
@@ -359,7 +372,6 @@ class ClusterBVHIntersector:
         tmin = jnp.zeros_like(tmax)
         rays_aug, n = _rays_to_aug(o, d, tmin, tmax)
         occ = _anyhit_call(
-            self.bounds, self.meta, self.w, rays_aug,
-            self.nn, self.nc, self.interpret,
+            self.bounds, self.meta, self.w, rays_aug, self.interpret
         )
-        return common.tiles_to_flat(occ, n) != 0
+        return _flat(occ, n) != 0

@@ -63,3 +63,25 @@ def test_cluster_kernel_matches_brute(scene, seed):
     occ_r = np.asarray(ref.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
     occ_p = np.asarray(pk.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
     np.testing.assert_array_equal(occ_r, occ_p)
+
+
+def test_multidomain_cluster_matches_brute():
+    from spray_tpu.kernels.multidomain import MultiDomainClusterIntersector
+
+    scene = wisp_cloud(n_blobs=8, tris_per_blob=80, extent=4.0)
+    n = 1500
+    o, d = _rand_rays(scene, n, 5)
+    tmin = jnp.zeros(n, jnp.float32)
+    tmax = jnp.full(n, np.inf, jnp.float32)
+    ref = BruteIntersector(scene, jnp)
+    mk = MultiDomainClusterIntersector(scene, n_domains=6)
+    hr = ref.intersect(o, d, tmin, tmax)
+    hm = mk.intersect(o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(hr.valid), np.asarray(hm.valid))
+    m = np.asarray(hr.valid)
+    np.testing.assert_allclose(
+        np.asarray(hr.t)[m], np.asarray(hm.t)[m], rtol=2e-4, atol=2e-5
+    )
+    occ_r = np.asarray(ref.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
+    occ_m = np.asarray(mk.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
+    np.testing.assert_array_equal(occ_r, occ_m)
