@@ -74,11 +74,15 @@ def tri_transforms(v0, e1, e2):
 
 
 def _build_cluster_bvh_morton(vertices, faces, branching=8):
+    from .. import native  # noqa: PLC0415
+
     tv = vertices[faces.reshape(-1)].reshape(-1, 3, 3)
     ntri = len(tv)
     tlo = tv.min(1)
     thi = tv.max(1)
-    order = _morton_order(tlo, thi)
+    order = native.morton_order(tlo, thi)  # C++ fast path
+    if order is None:
+        order = _morton_order(tlo, thi)
     tp = -(-ntri // CLUSTER) * CLUSTER
     perm = np.concatenate([order, np.full(tp - ntri, -1, np.int64)])
     nc = tp // CLUSTER
@@ -89,7 +93,10 @@ def _build_cluster_bvh_morton(vertices, faces, branching=8):
     v0 = np.where(valid[:, None], t[:, 0], 0.0).astype(np.float32)
     e1 = np.where(valid[:, None], t[:, 1] - t[:, 0], 0.0).astype(np.float32)
     e2 = np.where(valid[:, None], t[:, 2] - t[:, 0], 0.0).astype(np.float32)
-    tf = tri_transforms(v0, e1, e2).reshape(nc, CLUSTER, 4, 3)
+    tf = native.tri_transforms(v0, e1, e2)  # C++ fast path
+    if tf is None:
+        tf = tri_transforms(v0, e1, e2)
+    tf = tf.reshape(nc, CLUSTER, 4, 3)
     w = np.transpose(tf, (0, 2, 3, 1)).reshape(nc, 4, 3 * CLUSTER)
     ids = np.where(valid, perm, -1).astype(np.int32).reshape(nc, CLUSTER)
 
