@@ -62,11 +62,14 @@ def _scan_nearest(bounds, meta, w, tri_ids, aug, n_static, tmax, interpret):
 
     best_t0 = pad_n(tmax, 0.0)
 
+    bucket_dom = jnp.zeros(p, jnp.int32)
+
     def body(carry, dom):
         best_t, best_prim, best_u, best_v = carry
         a = aug.at[:, 5, 0:PACKET].set(best_t.reshape(p, PACKET))
         t, code, u, v = _nearest_call(
-            dom["bounds"], dom["meta"], dom["w"], a, interpret
+            bucket_dom, dom["bounds"][None], dom["meta"][None],
+            dom["w"][None], a, interpret,
         )
         t, code = t.reshape(-1), code.reshape(-1)
         u, v = u.reshape(-1), v.reshape(-1)
@@ -97,6 +100,8 @@ def _scan_anyhit(bounds, meta, w, aug, interpret):
     p = aug.shape[0]
     npad = p * PACKET
 
+    bucket_dom = jnp.zeros(p, jnp.int32)
+
     def body(occ, dom):
         a = aug.at[:, 5, 0:PACKET].set(
             jnp.where(
@@ -104,7 +109,10 @@ def _scan_anyhit(bounds, meta, w, aug, interpret):
                 aug[:, 5, 0:PACKET].reshape(-1),
             ).reshape(p, PACKET)
         )
-        o = _anyhit_call(dom["bounds"], dom["meta"], dom["w"], a, interpret)
+        o = _anyhit_call(
+            bucket_dom, dom["bounds"][None], dom["meta"][None],
+            dom["w"][None], a, interpret,
+        )
         return occ | o.reshape(-1), None
 
     occ, _ = jax.lax.scan(

@@ -53,7 +53,7 @@ def _slab_all_children(bounds_ref, nid, ox, oy, oz, idx, idy, idz, tlo, thi):
     Returns ONE scalar bitmask (bit c = any ray hits child c): a single
     vector->scalar extraction per node instead of eight.
     """
-    b = bounds_ref[nid]  # (8, 6)
+    b = bounds_ref[0, nid]  # (8, 6)
     lox, loy, loz = b[:, 0:1], b[:, 1:2], b[:, 2:3]
     hix, hiy, hiz = b[:, 3:4], b[:, 4:5], b[:, 5:6]
     t0x = (lox - ox) * idx
@@ -84,7 +84,7 @@ def _cluster_intersect(w_ref, cid, od8, tlo, thi, occl):
     Mosaic supports only DEFAULT (1-pass bf16, too lossy for geometry —
     verified 1.3% wrong-hit rate) and HIGHEST (full f32).
     """
-    wmat = w_ref[cid]
+    wmat = w_ref[0, cid]
     dn = (((0,), (0,)), ((), ()))  # contract the 4-dim of both
     odp = jax.lax.dot_general(
         wmat, od8, dn, preferred_element_type=jnp.float32,
@@ -123,8 +123,11 @@ def _ray_rows(rays_ref):
     return od8, ox, oy, oz, idx, idy, idz, tmin, tmax
 
 
-def _nearest_kernel(bounds_ref, meta_ref, w_ref, rays_ref,
+def _nearest_kernel(dom_ref, bounds_ref, meta_ref, w_ref, rays_ref,
                     out_t, out_code, out_u, out_v, stack_ref):
+    # dom_ref: (NB,) scalar-prefetch bucket->domain map. It drives the
+    # BlockSpec index maps (which domain's BVH is DMA'd for this program);
+    # the body itself only needs it to skip dead buckets (dom < 0).
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
 
     # Stack entries are ENCODED: e >= 0 -> internal node id; e < 0 -> leaf
@@ -148,7 +151,7 @@ def _nearest_kernel(bounds_ref, meta_ref, w_ref, rays_ref,
                 bounds_ref, nid, ox, oy, oz, idx, idy, idz, tmin, window_hi
             )
             for c in range(8):
-                kind = meta_ref[nid, c]
+                kind = meta_ref[0, nid, c]
                 push = (((mask >> c) & 1) > 0) & (kind != -1)
                 entry = jnp.where(kind >= 0, kind, kind + 1)
                 @pl.when(push)
@@ -202,7 +205,8 @@ def _nearest_kernel(bounds_ref, meta_ref, w_ref, rays_ref,
     out_v[0] = best_v
 
 
-def _anyhit_kernel(bounds_ref, meta_ref, w_ref, rays_ref, out_occ, stack_ref):
+def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, w_ref, rays_ref, out_occ,
+                   stack_ref):
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
 
     stack_ref[0] = jnp.int32(0)
@@ -224,7 +228,7 @@ def _anyhit_kernel(bounds_ref, meta_ref, w_ref, rays_ref, out_occ, stack_ref):
                 bounds_ref, nid, ox, oy, oz, idx, idy, idz, tmin, window_hi
             )
             for c in range(8):
-                kind = meta_ref[nid, c]
+                kind = meta_ref[0, nid, c]
                 push = (((mask >> c) & 1) > 0) & (kind != -1)
                 entry = jnp.where(kind >= 0, kind, kind + 1)
                 @pl.when(push)
@@ -282,60 +286,79 @@ def _flat(x, n):
     return x.reshape(-1)[:n]
 
 
+def _domain_specs(bounds, meta, w):
+    """BlockSpecs that DMA ONE domain's BVH per grid step, selected by the
+    scalar-prefetched bucket->domain map (MoE-router style).  Consecutive
+    buckets with the same domain re-use the resident block (no re-DMA), so a
+    domain is uploaded once per contiguous run."""
+    dsel = lambda b, dom_ref: jnp.maximum(dom_ref[b], 0)  # -1 = dead bucket
+    return [
+        pl.BlockSpec(
+            (1,) + bounds.shape[1:],
+            lambda b, dref: (dsel(b, dref), 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1,) + meta.shape[1:],
+            lambda b, dref: (dsel(b, dref), 0, 0),
+            memory_space=pltpu.SMEM,  # meta: scalar reads
+        ),
+        pl.BlockSpec(
+            (1,) + w.shape[1:],
+            lambda b, dref: (dsel(b, dref), 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 6, 2 * PACKET), lambda b, dref: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _nearest_call(bounds, meta, w, rays_aug, interpret):
+def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
+    """bounds (D,Nn,8,6), meta (D,Nn,8), w (D,Nc,4,3C), bucket_dom (P,) i32:
+    packet i traverses domain bucket_dom[i] (D=1 single-domain: zeros)."""
     p = rays_aug.shape[0]
-    share = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-    ray_spec = pl.BlockSpec(
-        (1, 6, 2 * PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
     out_spec = pl.BlockSpec(
-        (1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, PACKET), lambda b, dref: (b, 0, 0), memory_space=pltpu.VMEM
     )
     oshape = jax.ShapeDtypeStruct((p, 1, PACKET), jnp.float32)
     oishape = jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=_domain_specs(bounds, meta, w),
+        out_specs=[out_spec] * 4,
+        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+    )
     return pl.pallas_call(
         _nearest_kernel,
-        grid=(p,),
-        in_specs=[
-            share(bounds.shape),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta: scalar reads
-            share(w.shape), ray_spec,
-        ],
-        out_specs=[out_spec] * 4,
+        grid_spec=grid_spec,
         out_shape=[oshape, oishape, oshape, oshape],
-        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
         interpret=interpret,
-    )(bounds, meta, w, rays_aug)
+    )(bucket_dom, bounds, meta, w, rays_aug)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _anyhit_call(bounds, meta, w, rays_aug, interpret):
+def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     p = rays_aug.shape[0]
-    share = lambda shape: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
-    )
-    ray_spec = pl.BlockSpec(
-        (1, 6, 2 * PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
     out_spec = pl.BlockSpec(
-        (1, 1, PACKET), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, PACKET), lambda b, dref: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=_domain_specs(bounds, meta, w),
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
     )
     return pl.pallas_call(
         _anyhit_kernel,
-        grid=(p,),
-        in_specs=[
-            share(bounds.shape),
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta: scalar reads
-            share(w.shape), ray_spec,
-        ],
-        out_specs=out_spec,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32),
-        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
         interpret=interpret,
-    )(bounds, meta, w, rays_aug)
+    )(bucket_dom, bounds, meta, w, rays_aug)
 
 
 class ClusterBVHIntersector:
@@ -347,9 +370,9 @@ class ClusterBVHIntersector:
                 np.asarray(scene.vertices), np.asarray(scene.faces)
             )
         self.host = cbvh
-        self.bounds = jnp.asarray(cbvh.bounds)
-        self.meta = jnp.asarray(cbvh.meta)
-        self.w = jnp.asarray(cbvh.w)
+        self.bounds = jnp.asarray(cbvh.bounds)[None]
+        self.meta = jnp.asarray(cbvh.meta)[None]
+        self.w = jnp.asarray(cbvh.w)[None]
         self.tri_ids = jnp.asarray(cbvh.tri_ids.reshape(-1))
         self.nn = cbvh.num_nodes
         self.nc = cbvh.num_clusters
@@ -357,8 +380,10 @@ class ClusterBVHIntersector:
 
     def intersect(self, o, d, tmin, tmax):
         rays_aug, n = _rays_to_aug(o, d, tmin, tmax)
+        bucket_dom = jnp.zeros(rays_aug.shape[0], jnp.int32)
         t, code, u, v = _nearest_call(
-            self.bounds, self.meta, self.w, rays_aug, self.interpret
+            bucket_dom, self.bounds, self.meta, self.w, rays_aug,
+            self.interpret,
         )
         t, code, u, v = _flat(t, n), _flat(code, n), _flat(u, n), _flat(v, n)
         prim = jnp.where(code >= 0, self.tri_ids[jnp.maximum(code, 0)], -1)
@@ -371,7 +396,9 @@ class ClusterBVHIntersector:
     def occluded(self, o, d, tmax):
         tmin = jnp.zeros_like(tmax)
         rays_aug, n = _rays_to_aug(o, d, tmin, tmax)
+        bucket_dom = jnp.zeros(rays_aug.shape[0], jnp.int32)
         occ = _anyhit_call(
-            self.bounds, self.meta, self.w, rays_aug, self.interpret
+            bucket_dom, self.bounds, self.meta, self.w, rays_aug,
+            self.interpret,
         )
         return _flat(occ, n) != 0
