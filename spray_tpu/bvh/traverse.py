@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import geom
+from ..core.pytree import register_intersector_pytree
 from ..core.types import Hits
 from .builder import FlatBVH, build_bvh, reordered_tri_arrays
 
@@ -164,6 +165,7 @@ def _traverse_one(bvh, o, d, tmin, tmax, any_hit):
     return best_t, best, best_u, best_v, found
 
 
+@register_intersector_pytree(leaves=("bvh",))
 class BVHIntersector:
     """Drop-in intersector (same interface as BruteIntersector) over a DeviceBVH."""
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import geom, rng
+from ..core.pytree import register_intersector_pytree
 from ..core.types import Hits
 from ..integrators import wavefront
 from ..oracle.brute import BruteIntersector
@@ -47,6 +48,7 @@ def reintersect(vertices, faces, prim, o, d, tmax, valid):
     return t, u, v, n
 
 
+@register_intersector_pytree(leaves=("inner", "vertices", "faces"))
 class DetachedIntersector:
     """Wraps an intersector: stops gradients through the discrete search.
 
@@ -115,9 +117,15 @@ def make_diff_render_fn(scene, camera, cfg, make_intersector=None):
 
     pixel_ids = jnp.asarray(tile_swizzle_order(camera.width, camera.height))
 
-    def render(params):
+    def render(params, isect=None):
+        # isect: pass the base intersector (a registered pytree) through the
+        # CALLER's jit as an argument — a jitted caller that lets this default
+        # close over base_intersector bakes its BVH in as re-streamed HLO
+        # constants (~80x slower; see core/pytree.py).  Eager callers may omit.
+        if isect is None:
+            isect = base_intersector
         arrays, vertices, faces = diff_scene_arrays(scene, params)
-        intersector = DetachedIntersector(base_intersector, vertices, faces)
+        intersector = DetachedIntersector(isect, vertices, faces)
 
         def body(acc, s):
             return acc + wavefront.sample_wavefront(
@@ -132,6 +140,7 @@ def make_diff_render_fn(scene, camera, cfg, make_intersector=None):
         img = jnp.zeros((npix, 3), jnp.float32).at[pixel_ids].set(acc)
         return (img / cfg.spp).reshape(camera.height, camera.width, 3)
 
+    render.base_intersector = base_intersector
     return render
 
 
@@ -142,7 +151,7 @@ def render_grad(scene, camera, cfg, params, loss_fn=None, make_intersector=None)
     render = make_diff_render_fn(scene, camera, cfg, make_intersector)
 
     @jax.jit
-    def lg(params):
-        return jax.value_and_grad(lambda p: loss_fn(render(p)))(params)
+    def lg(params, isect):
+        return jax.value_and_grad(lambda p: loss_fn(render(p, isect)))(params)
 
-    return lg(params)
+    return lg(params, render.base_intersector)

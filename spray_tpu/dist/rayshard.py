@@ -60,9 +60,9 @@ def make_sharded_render_grad(scene, camera, cfg, mesh, axis="dev",
     w = jnp.asarray(np.asarray(loss_weights, np.float32))
     npix = camera.width * camera.height
 
-    def local_render(params, pixel_ids):
+    def local_render(params, pixel_ids, isect):
         arrays, vertices, faces = diff_scene_arrays(scene, params)
-        intersector = DetachedIntersector(base_intersector, vertices, faces)
+        intersector = DetachedIntersector(isect, vertices, faces)
 
         def body(acc, s):
             return acc + wavefront.sample_wavefront(
@@ -76,16 +76,19 @@ def make_sharded_render_grad(scene, camera, cfg, mesh, axis="dev",
         )
         return acc / jnp.float32(cfg.spp)
 
+    # the intersector rides through jit/shard_map as a REPLICATED pytree
+    # argument — closing over it would re-stream its BVH per step
+    # (core/pytree.py)
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
+        in_specs=(P(), P(axis), P()),
         out_specs=(P(axis), P(), P()),
         check_vma=False,
     )
-    def step(params, pixel_ids):
+    def step(params, pixel_ids, isect):
         def local_loss(p):
-            img = local_render(p, pixel_ids)
+            img = local_render(p, pixel_ids, isect)
             # Global mean: per-shard sum / global pixel count; psum'd below.
             return jnp.sum(img * w) / jnp.float32(npix * 3), img
 
@@ -94,7 +97,8 @@ def make_sharded_render_grad(scene, camera, cfg, mesh, axis="dev",
         grads = jax.lax.psum(grads, axis)
         return img, loss, grads
 
-    return jax.jit(step)
+    jstep = jax.jit(step)
+    return lambda params, pixel_ids: jstep(params, pixel_ids, base_intersector)
 
 
 def sharded_render(scene, camera, cfg, mesh, axis="dev", make_intersector=None):
@@ -108,13 +112,13 @@ def sharded_render(scene, camera, cfg, mesh, axis="dev", make_intersector=None):
 
     @jax.jit
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+        shard_map, mesh=mesh, in_specs=(P(axis), P(), P()), out_specs=P(axis),
         check_vma=False,
     )
-    def run(pixel_ids):
+    def run(pixel_ids, arrs, isect):
         def body(acc, s):
             return acc + wavefront.sample_wavefront(
-                arrays, camera, cfg, intersector, jnp, s, pixel_ids
+                arrs, camera, cfg, isect, jnp, s, pixel_ids
             ), None
 
         acc, _ = jax.lax.scan(
@@ -125,5 +129,7 @@ def sharded_render(scene, camera, cfg, mesh, axis="dev", make_intersector=None):
         return acc / jnp.float32(cfg.spp)
 
     sharding = NamedSharding(mesh, P(axis))
-    img = run(jax.device_put(jnp.asarray(ids), sharding))
+    img = run(
+        jax.device_put(jnp.asarray(ids), sharding), arrays, intersector
+    )
     return np.asarray(img)[:npix].reshape(camera.height, camera.width, 3)

@@ -37,15 +37,16 @@ def make_render_fn(scene, camera, cfg, intersector=None, donate=False):
     # counter RNG keys on pixel id, so trace order cannot change the image.
     pixel_ids = jnp.asarray(tile_swizzle_order(camera.width, camera.height))
 
-    def one_sample(scene_arrays, sample_idx):
-        return wavefront.sample_wavefront(
-            scene_arrays, camera, cfg, intersector, jnp, sample_idx, pixel_ids
-        )
-
+    # The intersector is a registered pytree passed as a jit ARGUMENT: closing
+    # over it would bake its BVH arrays in as HLO constants that XLA re-streams
+    # to the kernel every execution (~80x slower frames; see core/pytree.py).
     @functools.partial(jax.jit, static_argnames=("spp",))
-    def render(scene_arrays, spp):
+    def render(scene_arrays, isect, spp):
         def body(acc, s):
-            return acc + one_sample(scene_arrays, s), None
+            rad = wavefront.sample_wavefront(
+                scene_arrays, camera, cfg, isect, jnp, s, pixel_ids
+            )
+            return acc + rad, None
 
         acc, _ = jax.lax.scan(
             body, jnp.zeros((npix, 3), jnp.float32), jnp.arange(spp, dtype=jnp.uint32)
@@ -54,7 +55,7 @@ def make_render_fn(scene, camera, cfg, intersector=None, donate=False):
         img = img * jnp.float32(1.0 / spp)
         return img.reshape(camera.height, camera.width, 3)
 
-    return lambda scene_arrays: render(scene_arrays, cfg.spp)
+    return lambda scene_arrays: render(scene_arrays, intersector, cfg.spp)
 
 
 def render_device(scene, camera, cfg, intersector=None):

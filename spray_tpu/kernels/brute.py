@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.pytree import register_intersector_pytree
 from ..core.types import Hits
 from . import common
 
@@ -167,6 +168,7 @@ def _brute_anyhit(tri9, ids, o, d, tmin, tmax, interpret=False):
     return common.tiles_to_flat(occ, n) != 0
 
 
+@register_intersector_pytree(leaves=("tri9", "ids"), aux=("interpret",))
 class PallasBruteIntersector:
     """Drop-in intersector backed by the Pallas brute kernels."""
 

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.pytree import register_intersector_pytree
 from ..core.types import Hits
 from ..domains.partition import median_split_assign
 from .cluster_bvh import CLUSTER, build_cluster_bvh
@@ -27,6 +28,41 @@ from .traverse import (
 )
 
 MAX_DOMAIN_TRIS = 1 << 17  # ~131K tris ≈ 6.3 MB of cluster transforms
+
+
+def _packet_domain_order(aug, dom_aabb):
+    """Per-packet front-to-back domain order (SURVEY.md §7.1 'domain-cursor').
+
+    aug: (P, 6, 2*PACKET) ray blocks; dom_aabb: (D, 6) domain boxes.
+    Returns (order, entry_sorted): order (P, D) int32 domain ids sorted by the
+    packet's min entry distance, -1 where no ray in the packet overlaps the
+    domain.  Computed as a scan over D (D is small) so the (D, P, PACKET)
+    slab intermediate never materializes.
+    """
+    o = aug[:, 0:3, 0:PACKET]  # (P, 3, PACKET)
+    d = aug[:, 0:3, PACKET:]
+    tmin = aug[:, 4, 0:PACKET]  # (P, PACKET)
+    tmax = aug[:, 5, 0:PACKET]
+    eps = jnp.float32(1e-12)
+    inv = jnp.float32(1.0) / jnp.where(jnp.abs(d) > eps, d, eps)
+
+    def entry_of(_, box):
+        lo = box[0:3].reshape(1, 3, 1)
+        hi = box[3:6].reshape(1, 3, 1)
+        t0 = (lo - o) * inv
+        t1 = (hi - o) * inv
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=1), tmin)
+        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=1), tmax)
+        hit = tn <= tf  # (P, PACKET)
+        ent = jnp.min(jnp.where(hit, tn, jnp.inf), axis=1)  # (P,)
+        return None, ent
+
+    _, entry = jax.lax.scan(entry_of, None, dom_aabb)  # (D, P)
+    entry = entry.T  # (P, D)
+    order = jnp.argsort(entry, axis=1).astype(jnp.int32)
+    entry_sorted = jnp.take_along_axis(entry, order, axis=1)
+    order = jnp.where(jnp.isfinite(entry_sorted), order, -1)
+    return order, entry_sorted
 
 
 def _pad0(a, n):
@@ -95,6 +131,101 @@ def _scan_nearest(bounds, meta, w, tri_ids, aug, n_static, tmax, interpret):
     return bt, bp, bu, bv
 
 
+def _round_perms(order, n_domains):
+    """Per-round packet permutations: round r visits order[:, r]; packets are
+    sorted by domain id (stable) so the scalar-prefetch BlockSpecs DMA each
+    domain's BVH once per contiguous run; dead packets (-1) sort last."""
+    key = jnp.where(order >= 0, order, n_domains).T  # (D, P)
+    perms = jnp.argsort(key, axis=1).astype(jnp.int32)  # (D, P)
+    invs = jnp.argsort(perms, axis=1).astype(jnp.int32)
+    bdoms = jnp.take_along_axis(order.T, perms, axis=1)  # (D, P) permuted
+    return perms, invs, bdoms
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _routed_nearest(bounds, meta, w, tri_ids, dom_aabb, aug, tmax, interpret):
+    """Front-to-back routed traversal: D rounds; in round r each packet
+    traverses the r-th nearest domain it overlaps (or nothing).  The carried
+    best-t is baked into the ray windows, so a domain whose entry distance
+    exceeds the packet's best hits roots out at its first slab test — the
+    vectorized form of the reference's 'all closer domains processed' commit
+    cull (SURVEY.md §3.3)."""
+    p = aug.shape[0]
+    npad = p * PACKET
+    order, _ = _packet_domain_order(aug, dom_aabb)
+    perms, invs, bdoms = _round_perms(order, bounds.shape[0])
+
+    def pad_n(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full(npad - x.shape[0], fill, x.dtype)]
+        ) if x.shape[0] < npad else x
+
+    def body(carry, rin):
+        best_t, best_prim, best_u, best_v = carry
+        perm, inv, bdom = rin
+        a = aug[perm]
+        bt = best_t.reshape(p, PACKET)[perm]
+        live = (bdom >= 0)[:, None]
+        a = a.at[:, 5, 0:PACKET].set(jnp.where(live, bt, jnp.float32(0.0)))
+        t, code, u, v = _nearest_call(
+            jnp.maximum(bdom, 0), bounds, meta, w, a, interpret
+        )
+        dom_ray = jnp.repeat(jnp.maximum(bdom, 0), PACKET)
+        t, code = t.reshape(-1), code.reshape(-1)
+        prim = jnp.where(
+            code >= 0, tri_ids[dom_ray, jnp.maximum(code, 0)], -1
+        )
+
+        def unp(x):
+            return x.reshape(p, PACKET)[inv].reshape(-1)
+
+        t, prim = unp(t), unp(prim)
+        u, v = unp(u.reshape(-1)), unp(v.reshape(-1))
+        upd = (prim >= 0) & (t < best_t)
+        return (
+            jnp.where(upd, t, best_t),
+            jnp.where(upd, prim, best_prim),
+            jnp.where(upd, u, best_u),
+            jnp.where(upd, v, best_v),
+        ), None
+
+    init = (
+        pad_n(tmax, 0.0),
+        jnp.full(npad, -1, jnp.int32),
+        jnp.zeros(npad, jnp.float32),
+        jnp.zeros(npad, jnp.float32),
+    )
+    (bt, bp, bu, bv), _ = jax.lax.scan(body, init, (perms, invs, bdoms))
+    return bt, bp, bu, bv
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _routed_anyhit(bounds, meta, w, dom_aabb, aug, interpret):
+    p = aug.shape[0]
+    npad = p * PACKET
+    order, _ = _packet_domain_order(aug, dom_aabb)
+    perms, invs, bdoms = _round_perms(order, bounds.shape[0])
+
+    def body(occ, rin):
+        perm, inv, bdom = rin
+        a = aug[perm]
+        occ_p = occ.reshape(p, PACKET)[perm]
+        live = (bdom >= 0)[:, None] & (occ_p == 0)
+        a = a.at[:, 5, 0:PACKET].set(
+            jnp.where(live, a[:, 5, 0:PACKET], jnp.float32(0.0))
+        )
+        o = _anyhit_call(
+            jnp.maximum(bdom, 0), bounds, meta, w, a, interpret
+        )
+        o = o.reshape(p, PACKET)[inv].reshape(-1)
+        return occ | o, None
+
+    occ, _ = jax.lax.scan(
+        body, jnp.zeros(npad, jnp.int32), (perms, invs, bdoms)
+    )
+    return occ
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _scan_anyhit(bounds, meta, w, aug, interpret):
     p = aug.shape[0]
@@ -122,10 +253,21 @@ def _scan_anyhit(bounds, meta, w, aug, interpret):
     return occ
 
 
+@register_intersector_pytree(
+    leaves=("bounds", "meta", "w", "tri_ids", "dom_aabb"),
+    aux=("n_domains", "interpret", "routed"),
+)
 class MultiDomainClusterIntersector:
-    """Drop-in intersector: D per-domain Pallas cluster BVHs, min-combined."""
+    """Drop-in intersector: D per-domain Pallas cluster BVHs, min-combined.
 
-    def __init__(self, scene, n_domains=None, interpret=None):
+    routed=True (default): front-to-back domain-cursor rounds — each packet
+    visits only domains it overlaps, nearest first, with best-t culling
+    (SURVEY.md §7.1).  routed=False: plain scan of every domain over every
+    packet (the dense-speculation form; kept as the correctness cross-check).
+    """
+
+    def __init__(self, scene, n_domains=None, interpret=None, routed=True):
+        self.routed = routed
         verts = np.asarray(scene.vertices, np.float32)
         faces = np.asarray(scene.faces, np.int64)
         if n_domains is None:
@@ -137,6 +279,7 @@ class MultiDomainClusterIntersector:
         else:
             assign = median_split_assign(centers, n_domains)
         cbvhs = []
+        aabbs = []
         for d in range(n_domains):
             ids = np.nonzero(assign == d)[0]
             if len(ids) == 0:
@@ -147,6 +290,9 @@ class MultiDomainClusterIntersector:
                 local >= 0, ids[np.clip(local, 0, None)], -1
             ).astype(np.int32)
             cbvhs.append(cbvh)
+            dv = verts[faces[ids].reshape(-1)]
+            aabbs.append(np.concatenate([dv.min(0), dv.max(0)]))
+        self.dom_aabb = jnp.asarray(np.stack(aabbs).astype(np.float32))
         self.n_domains = len(cbvhs)
         # Stack with IDENTICAL padded shapes: one kernel, one scan.
         nn_max = max(c.bounds.shape[0] for c in cbvhs)
@@ -170,10 +316,16 @@ class MultiDomainClusterIntersector:
     def intersect(self, o, d, tmin, tmax):
         n = o.shape[0]
         aug, _ = _rays_to_aug(o, d, tmin, tmax)
-        bt, bp, bu, bv = _scan_nearest(
-            self.bounds, self.meta, self.w, self.tri_ids, aug, n,
-            tmax, self.interpret,
-        )
+        if self.routed:
+            bt, bp, bu, bv = _routed_nearest(
+                self.bounds, self.meta, self.w, self.tri_ids,
+                self.dom_aabb, aug, tmax, self.interpret,
+            )
+        else:
+            bt, bp, bu, bv = _scan_nearest(
+                self.bounds, self.meta, self.w, self.tri_ids, aug, n,
+                tmax, self.interpret,
+            )
         bt, bp, bu, bv = bt[:n], bp[:n], bu[:n], bv[:n]
         valid = bp >= 0
         return Hits(
@@ -185,5 +337,13 @@ class MultiDomainClusterIntersector:
         n = o.shape[0]
         tmin = jnp.zeros_like(tmax)
         aug, _ = _rays_to_aug(o, d, tmin, tmax)
-        occ = _scan_anyhit(self.bounds, self.meta, self.w, aug, self.interpret)
+        if self.routed:
+            occ = _routed_anyhit(
+                self.bounds, self.meta, self.w, self.dom_aabb, aug,
+                self.interpret,
+            )
+        else:
+            occ = _scan_anyhit(
+                self.bounds, self.meta, self.w, aug, self.interpret
+            )
         return occ[:n] != 0

@@ -35,6 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core.pytree import register_intersector_pytree
 from ..core.types import Hits
 from . import common
 from .cluster_bvh import CLUSTER, ClusterBVH, build_cluster_bvh
@@ -361,8 +362,17 @@ def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     )(bucket_dom, bounds, meta, w, rays_aug)
 
 
+@register_intersector_pytree(
+    leaves=("bounds", "meta", "w", "tri_ids"),
+    aux=("nn", "nc", "interpret"),
+    drop=("host",),
+)
 class ClusterBVHIntersector:
-    """Drop-in intersector over the Pallas packet kernels (one domain)."""
+    """Drop-in intersector over the Pallas packet kernels (one domain).
+
+    Registered as a pytree: pass it THROUGH jit boundaries as an argument —
+    closing over it turns the BVH into per-execution-streamed HLO constants
+    (see core/pytree.py)."""
 
     def __init__(self, scene=None, cbvh: ClusterBVH = None, interpret=None):
         if cbvh is None:

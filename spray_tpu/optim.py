@@ -66,10 +66,11 @@ def fit(scene, camera, cfg, target, params, steps=100, lr=5e-2,
     target = jnp.asarray(target, jnp.float32)
     opt = optax.adam(lr)
 
+    # intersector passed through jit as a pytree argument (core/pytree.py)
     @jax.jit
-    def step_fn(params, opt_state):
+    def step_fn(params, opt_state, isect):
         loss, grads = jax.value_and_grad(
-            lambda p: l2_image_loss(render(p), target)
+            lambda p: l2_image_loss(render(p, isect), target)
         )(params)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -84,7 +85,9 @@ def fit(scene, camera, cfg, target, params, steps=100, lr=5e-2,
 
     losses = []
     for i in range(start, steps):
-        params, opt_state, loss = step_fn(params, opt_state)
+        params, opt_state, loss = step_fn(
+            params, opt_state, render.base_intersector
+        )
         losses.append(float(loss))
         if callback:
             callback(i, float(loss), params)

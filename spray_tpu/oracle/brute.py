@@ -12,9 +12,11 @@ from __future__ import annotations
 import numpy as np
 
 from ..core import geom
+from ..core.pytree import register_intersector_pytree
 from ..core.types import Hits
 
 
+@register_intersector_pytree(leaves=("v0", "e1", "e2"), aux=("xp",))
 class BruteIntersector:
     """Intersects against one triangle soup; precomputes v0/e1/e2."""
 

@@ -70,10 +70,11 @@ def make_pipeline(scene, camera, cfg: RenderConfig, backward=False,
     )
     w = jnp.asarray([0.4, 0.8, 1.3], jnp.float32)
 
+    # intersector passed through jit as a pytree argument (core/pytree.py)
     @jax.jit
-    def step(params):
+    def step(params, isect):
         def loss(p):
-            img = render_fn(p)
+            img = render_fn(p, isect)
             return jnp.mean(img * w)
 
         return jax.value_and_grad(loss)(params)
@@ -82,4 +83,4 @@ def make_pipeline(scene, camera, cfg: RenderConfig, backward=False,
         "vertices": jnp.asarray(scene.vertices),
         "albedo": jnp.asarray(scene.albedo),
     }
-    return Pipeline(step, (params,))
+    return Pipeline(step, (params, intersector))

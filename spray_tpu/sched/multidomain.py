@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bvh.traverse import DeviceBVH, _traverse_one
+from ..core.pytree import register_intersector_pytree
 from ..core import geom
 from ..core.types import Hits
 from ..domains.partition import DomainSet
@@ -118,6 +119,7 @@ def trace_domain(dbvh, o, d, tmin, tmax, any_hit=False):
     return f(o, d, tmin, tmax)
 
 
+@register_intersector_pytree(leaves=("dset",), drop=("host_dset",))
 class MultiDomainIntersector:
     """Drop-in intersector over a DeviceDomainSet (all domains resident).
 

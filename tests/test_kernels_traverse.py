@@ -65,7 +65,8 @@ def test_cluster_kernel_matches_brute(scene, seed):
     np.testing.assert_array_equal(occ_r, occ_p)
 
 
-def test_multidomain_cluster_matches_brute():
+@pytest.mark.parametrize("routed", [True, False], ids=["routed", "scan"])
+def test_multidomain_cluster_matches_brute(routed):
     from spray_tpu.kernels.multidomain import MultiDomainClusterIntersector
 
     scene = wisp_cloud(n_blobs=8, tris_per_blob=80, extent=4.0)
@@ -74,7 +75,7 @@ def test_multidomain_cluster_matches_brute():
     tmin = jnp.zeros(n, jnp.float32)
     tmax = jnp.full(n, np.inf, jnp.float32)
     ref = BruteIntersector(scene, jnp)
-    mk = MultiDomainClusterIntersector(scene, n_domains=6)
+    mk = MultiDomainClusterIntersector(scene, n_domains=6, routed=routed)
     hr = ref.intersect(o, d, tmin, tmax)
     hm = mk.intersect(o, d, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(hr.valid), np.asarray(hm.valid))
