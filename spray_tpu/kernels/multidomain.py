@@ -25,6 +25,7 @@ from .cluster_bvh import CLUSTER, build_cluster_bvh
 from . import common
 from .traverse import (
     PACKET, _anyhit_call, _nearest_call, _rays_to_aug, _flat,
+    attrs_for_prims, tri_soa_from_scene,
 )
 
 MAX_DOMAIN_TRIS = 1 << 17  # ~131K tris ≈ 6.3 MB of cluster transforms
@@ -101,34 +102,29 @@ def _scan_nearest(bounds, meta, w, tri_ids, aug, n_static, tmax, interpret):
     bucket_dom = jnp.zeros(p, jnp.int32)
 
     def body(carry, dom):
-        best_t, best_prim, best_u, best_v = carry
+        best_t, best_prim = carry
         a = aug.at[:, 5, 0:PACKET].set(best_t.reshape(p, PACKET))
-        t, code, u, v = _nearest_call(
+        t, code = _nearest_call(
             bucket_dom, dom["bounds"][None], dom["meta"][None],
             dom["w"][None], a, interpret,
         )
         t, code = t.reshape(-1), code.reshape(-1)
-        u, v = u.reshape(-1), v.reshape(-1)
         prim = jnp.where(code >= 0, dom["tri_ids"][jnp.maximum(code, 0)], -1)
         upd = (prim >= 0) & (t < best_t)
         return (
             jnp.where(upd, t, best_t),
             jnp.where(upd, prim, best_prim),
-            jnp.where(upd, u, best_u),
-            jnp.where(upd, v, best_v),
         ), None
 
     init = (
         best_t0,
         jnp.full(npad, -1, jnp.int32),
-        jnp.zeros(npad, jnp.float32),
-        jnp.zeros(npad, jnp.float32),
     )
-    (bt, bp, bu, bv), _ = jax.lax.scan(
+    (bt, bp), _ = jax.lax.scan(
         body, init,
         {"bounds": bounds, "meta": meta, "w": w, "tri_ids": tri_ids},
     )
-    return bt, bp, bu, bv
+    return bt, bp
 
 
 def _round_perms(order, n_domains):
@@ -161,13 +157,13 @@ def _routed_nearest(bounds, meta, w, tri_ids, dom_aabb, aug, tmax, interpret):
         ) if x.shape[0] < npad else x
 
     def body(carry, rin):
-        best_t, best_prim, best_u, best_v = carry
+        best_t, best_prim = carry
         perm, inv, bdom = rin
         a = aug[perm]
         bt = best_t.reshape(p, PACKET)[perm]
         live = (bdom >= 0)[:, None]
         a = a.at[:, 5, 0:PACKET].set(jnp.where(live, bt, jnp.float32(0.0)))
-        t, code, u, v = _nearest_call(
+        t, code = _nearest_call(
             jnp.maximum(bdom, 0), bounds, meta, w, a, interpret
         )
         dom_ray = jnp.repeat(jnp.maximum(bdom, 0), PACKET)
@@ -180,23 +176,18 @@ def _routed_nearest(bounds, meta, w, tri_ids, dom_aabb, aug, tmax, interpret):
             return x.reshape(p, PACKET)[inv].reshape(-1)
 
         t, prim = unp(t), unp(prim)
-        u, v = unp(u.reshape(-1)), unp(v.reshape(-1))
         upd = (prim >= 0) & (t < best_t)
         return (
             jnp.where(upd, t, best_t),
             jnp.where(upd, prim, best_prim),
-            jnp.where(upd, u, best_u),
-            jnp.where(upd, v, best_v),
         ), None
 
     init = (
         pad_n(tmax, 0.0),
         jnp.full(npad, -1, jnp.int32),
-        jnp.zeros(npad, jnp.float32),
-        jnp.zeros(npad, jnp.float32),
     )
-    (bt, bp, bu, bv), _ = jax.lax.scan(body, init, (perms, invs, bdoms))
-    return bt, bp, bu, bv
+    (bt, bp), _ = jax.lax.scan(body, init, (perms, invs, bdoms))
+    return bt, bp
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -254,7 +245,7 @@ def _scan_anyhit(bounds, meta, w, aug, interpret):
 
 
 @register_intersector_pytree(
-    leaves=("bounds", "meta", "w", "tri_ids", "dom_aabb"),
+    leaves=("bounds", "meta", "w", "tri_ids", "dom_aabb", "v0", "e1", "e2"),
     aux=("n_domains", "interpret", "routed"),
 )
 class MultiDomainClusterIntersector:
@@ -309,6 +300,7 @@ class MultiDomainClusterIntersector:
                 [_pad_const(c.tri_ids, nc_max, -1).reshape(-1) for c in cbvhs]
             )
         )
+        self.v0, self.e1, self.e2 = tri_soa_from_scene(scene)
         self.interpret = (
             common.use_interpret() if interpret is None else interpret
         )
@@ -317,20 +309,22 @@ class MultiDomainClusterIntersector:
         n = o.shape[0]
         aug, _ = _rays_to_aug(o, d, tmin, tmax)
         if self.routed:
-            bt, bp, bu, bv = _routed_nearest(
+            bt, bp = _routed_nearest(
                 self.bounds, self.meta, self.w, self.tri_ids,
                 self.dom_aabb, aug, tmax, self.interpret,
             )
         else:
-            bt, bp, bu, bv = _scan_nearest(
+            bt, bp = _scan_nearest(
                 self.bounds, self.meta, self.w, self.tri_ids, aug, n,
                 tmax, self.interpret,
             )
-        bt, bp, bu, bv = bt[:n], bp[:n], bu[:n], bv[:n]
-        valid = bp >= 0
+        bt, bp = bt[:n], bp[:n]
+        t, u, v, valid = attrs_for_prims(
+            self.v0, self.e1, self.e2, bp, o, d, bt, tmax
+        )
         return Hits(
-            t=jnp.where(valid, bt, tmax), prim=bp.astype(jnp.int32),
-            u=bu, v=bv, valid=valid,
+            t=jnp.where(valid, t, tmax), prim=bp.astype(jnp.int32),
+            u=u, v=v, valid=valid,
         )
 
     def occluded(self, o, d, tmax):

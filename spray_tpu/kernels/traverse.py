@@ -6,21 +6,26 @@ Design (TPU-first, cf. kernels/cluster_bvh.py):
     DIMENSION: every per-ray quantity is a (1, 512) row (4 lane-tiles), so a
     slab test step costs 4 VPU instructions — NOT 64, as a (512, 1) column
     layout would (TPU pads the lane dim to 128; columns waste 128x).
-  - The packet traverses a shallow 8-wide BVH with ONE shared stack in SMEM —
-    scalar control flow, zero per-lane divergence state.  Stack entries are
-    pushed far-to-near with their packet-min entry distance; a popped entry
-    farther than the packet-max best-t is skipped (packet-ordered traversal).
+  - The packet traverses a shallow 8-wide BVH with ONE shared BITMASK stack in
+    SMEM: an entry is (node_id << 8) | pending-children byte.  Each iteration
+    peels ONE child (count-trailing-zeros via a 256-entry SMEM table) — the
+    scalar work per node is one slab test + one push, instead of eight
+    sequential masked pushes.  Scalar-unit latency is the traversal's serial
+    bottleneck, so entries are touched O(children hit), not O(8).
   - Leaves are 128-tri CLUSTERS intersected on the MXU:
         O' = W^T o_aug : dot_general((4,3C),(4,512)) -> (3C,512)
     tris on sublanes, rays on lanes; elementwise decode on (C,512) blocks and
-    a sublane min-reduction select the nearest hit per ray.  131072 ray-tri
-    tests per (packet, cluster) pair for ~2.4 MFLOP of MXU work, no gathers.
-  - Nearest-hit kernel returns (t, u, v, code) with code = cluster*128 + row;
-    global tri ids resolve via one XLA gather outside.  The any-hit kernel
-    early-exits once every lane is occluded.
+    a sublane min-reduction select the nearest hit per ray.  The kernel
+    returns ONLY (t, code); barycentrics are recomputed OUTSIDE against the
+    committed triangle (one Möller–Trumbore on the winner — also exactly what
+    the differentiable path does, SURVEY.md §3.5), saving the one-hot u/v
+    selection ops on every leaf visit.
+  - The any-hit kernel early-exits once every lane is occluded.
 
-Per-domain cluster sets are sized to fit VMEM (<= ~250K tris / domain), which
-the domain decomposition guarantees by construction (SURVEY §7.1).
+Scalar-prefetch domain routing: a bucket->domain map (MoE-router style) picks
+WHICH domain's BVH pages are DMA'd for each ray packet, so one kernel serves
+the single-domain, dense-speculative and routed multi-domain paths
+(SURVEY.md §2 R6: speculative trace against resident domains).
 
 Runs compiled on TPU; interpret mode elsewhere (tests).
 """
@@ -35,6 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core import geom
 from ..core.pytree import register_intersector_pytree
 from ..core.types import Hits
 from . import common
@@ -45,6 +51,11 @@ MAX_STACK = 192
 F32 = jnp.float32
 NEG_INF = np.float32(-np.inf)
 INF = np.float32(np.inf)
+
+# count-trailing-zeros lookup for the pending-children byte (SMEM table)
+_CTZ_TABLE = np.array(
+    [0] + [(i & -i).bit_length() - 1 for i in range(1, 256)], np.int32
+)
 
 
 def _slab_all_children(bounds_ref, nid, ox, oy, oz, idx, idy, idz, tlo, thi):
@@ -78,7 +89,8 @@ def _slab_all_children(bounds_ref, nid, ox, oy, oz, idx, idy, idz, tlo, thi):
 
 
 def _cluster_intersect(w_ref, cid, od8, tlo, thi, occl):
-    """MXU cluster test, rays-on-lanes.  Returns (t, u, v, ok) each (C, 512).
+    """MXU cluster test, rays-on-lanes.  Returns masked-t `tm` (C, 512) with
+    INF on misses (nearest) or the raw ok mask (occlusion).
 
     od8: (4, 2*PACKET) = [o_aug | d_aug] — ONE fused matmul halves the MXU
     dispatch latency (small-K matmuls are latency-bound).  HIGHEST precision:
@@ -105,7 +117,9 @@ def _cluster_intersect(w_ref, cid, od8, tlo, thi, occl):
     else:
         tgate = (t >= tlo) & (t < thi)
     ok = dw_ok & tgate & (u >= F32(0)) & (v >= F32(0)) & (u + v <= F32(1))
-    return t, u, v, ok
+    if occl:
+        return ok
+    return jnp.where(ok, t, INF)
 
 
 def _ray_rows(rays_ref):
@@ -124,93 +138,96 @@ def _ray_rows(rays_ref):
     return od8, ox, oy, oz, idx, idy, idz, tmin, tmax
 
 
-def _nearest_kernel(dom_ref, bounds_ref, meta_ref, w_ref, rays_ref,
-                    out_t, out_code, out_u, out_v, stack_ref):
-    # dom_ref: (NB,) scalar-prefetch bucket->domain map. It drives the
-    # BlockSpec index maps (which domain's BVH is DMA'd for this program);
-    # the body itself only needs it to skip dead buckets (dom < 0).
-    od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
+def _pop_child(ctz_ref, stack_ref, sp):
+    """Peel one pending child off the top bitmask-stack entry.
 
-    # Stack entries are ENCODED: e >= 0 -> internal node id; e < 0 -> leaf
-    # cluster id = -(e + 1).  One pop per iteration, single two-way cond
-    # (unrolled per-child conds with bool carries miscompile in Mosaic).
-    stack_ref[0] = jnp.int32(0)
+    Returns (sp', nid, c): sp' already reflects whether the entry emptied.
+    """
+    e = stack_ref[sp - 1]
+    mask = e & 255
+    nid = jax.lax.shift_right_logical(e, 8)
+    c = ctz_ref[mask]
+    rest = mask & (mask - 1)
+    stack_ref[sp - 1] = jax.lax.shift_left(nid, 8) | rest
+    sp = sp - (rest == 0).astype(jnp.int32)
+    return sp, nid, c
+
+
+def _nearest_kernel(dom_ref, ctz_ref, bounds_ref, meta_ref, valid_ref, w_ref,
+                    rays_ref, out_t, out_code, stack_ref):
+    # dom_ref: (NB,) scalar-prefetch bucket->domain map driving the BlockSpec
+    # index maps (which domain's BVH is DMA'd for this program).
+    # ctz_ref: (256,) scalar-prefetch count-trailing-zeros table.
+    od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
+    row = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, PACKET), 0)
+
+    mask0 = _slab_all_children(
+        bounds_ref, 0, ox, oy, oz, idx, idy, idz, tmin, tmax
+    ) & valid_ref[0, 0, 0]
+    stack_ref[0] = mask0  # (0 << 8) | mask0
+    sp0 = (mask0 != 0).astype(jnp.int32)
 
     def cond(carry):
         return carry[0] > 0
 
     def body(carry):
-        sp, best_t, best_code, best_u, best_v = carry
-        sp = sp - 1
-        e = stack_ref[sp]
+        sp, best_t, best_code = carry
+        sp, nid, c = _pop_child(ctz_ref, stack_ref, sp)
+        kind = meta_ref[0, nid, c]
 
         def internal_case(ops):
-            sp, best_t, best_code, best_u, best_v = ops
-            nid = e
+            sp, best_t, best_code = ops
             window_hi = jnp.minimum(tmax, best_t)
-            mask = _slab_all_children(
-                bounds_ref, nid, ox, oy, oz, idx, idy, idz, tmin, window_hi
-            )
-            for c in range(8):
-                kind = meta_ref[0, nid, c]
-                push = (((mask >> c) & 1) > 0) & (kind != -1)
-                entry = jnp.where(kind >= 0, kind, kind + 1)
-                @pl.when(push)
-                def _():
-                    stack_ref[sp] = entry
-                sp = sp + push.astype(jnp.int32)
-            return (sp, best_t, best_code, best_u, best_v)
+            m = _slab_all_children(
+                bounds_ref, kind, ox, oy, oz, idx, idy, idz, tmin, window_hi
+            ) & valid_ref[0, kind, 0]
+            @pl.when(m != 0)
+            def _():
+                stack_ref[sp] = jax.lax.shift_left(kind, 8) | m
+            return (sp + (m != 0).astype(jnp.int32), best_t, best_code)
 
         def leaf_case(ops):
-            sp, best_t, best_code, best_u, best_v = ops
-            cid = -(e + 1)
-            t, u, v, ok = _cluster_intersect(
+            sp, best_t, best_code = ops
+            cid = -(kind + 2)
+            tm = _cluster_intersect(
                 w_ref, cid, od8, tmin, jnp.minimum(tmax, best_t), occl=False
             )
-            tm = jnp.where(ok, t, INF)
             trow = jnp.min(tm, axis=0, keepdims=True)  # (1, PACKET)
             improved = trow < best_t
-            row = jax.lax.broadcasted_iota(jnp.int32, tm.shape, 0)
             jsel = jnp.min(
                 jnp.where(tm == trow, row, jnp.int32(CLUSTER)),
                 axis=0, keepdims=True,
             )
-            onehot = row == jsel
-            usel = jnp.sum(jnp.where(onehot, u, F32(0)), axis=0, keepdims=True)
-            vsel = jnp.sum(jnp.where(onehot, v, F32(0)), axis=0, keepdims=True)
             code = cid * CLUSTER + jsel
             return (
                 sp,
                 jnp.where(improved, trow, best_t),
                 jnp.where(improved, code, best_code),
-                jnp.where(improved, usel, best_u),
-                jnp.where(improved, vsel, best_v),
             )
 
         return jax.lax.cond(
-            e >= 0, internal_case, leaf_case,
-            (sp, best_t, best_code, best_u, best_v),
+            kind >= 0, internal_case, leaf_case, (sp, best_t, best_code)
         )
 
     init = (
-        jnp.int32(1),
+        sp0,
         tmax,
         jnp.full((1, PACKET), -1, jnp.int32),
-        jnp.zeros((1, PACKET), F32),
-        jnp.zeros((1, PACKET), F32),
     )
-    _, best_t, best_code, best_u, best_v = jax.lax.while_loop(cond, body, init)
+    _, best_t, best_code = jax.lax.while_loop(cond, body, init)
     out_t[0] = best_t
     out_code[0] = best_code
-    out_u[0] = best_u
-    out_v[0] = best_v
 
 
-def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, w_ref, rays_ref, out_occ,
-                   stack_ref):
+def _anyhit_kernel(dom_ref, ctz_ref, bounds_ref, meta_ref, valid_ref, w_ref,
+                   rays_ref, out_occ, stack_ref):
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
 
-    stack_ref[0] = jnp.int32(0)
+    mask0 = _slab_all_children(
+        bounds_ref, 0, ox, oy, oz, idx, idy, idz, tmin, tmax
+    ) & valid_ref[0, 0, 0]
+    stack_ref[0] = mask0
+    sp0 = (mask0 != 0).astype(jnp.int32)
 
     def cond(carry):
         sp, occ = carry
@@ -218,30 +235,24 @@ def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, w_ref, rays_ref, out_occ,
 
     def body(carry):
         sp, occ = carry  # occ: (1, PACKET) int32
-        sp = sp - 1
-        e = stack_ref[sp]
+        sp, nid, c = _pop_child(ctz_ref, stack_ref, sp)
+        kind = meta_ref[0, nid, c]
 
         def internal_case(ops):
             sp, occ = ops
-            nid = e
             window_hi = jnp.where(occ != 0, F32(0.0), tmax)
-            mask = _slab_all_children(
-                bounds_ref, nid, ox, oy, oz, idx, idy, idz, tmin, window_hi
-            )
-            for c in range(8):
-                kind = meta_ref[0, nid, c]
-                push = (((mask >> c) & 1) > 0) & (kind != -1)
-                entry = jnp.where(kind >= 0, kind, kind + 1)
-                @pl.when(push)
-                def _():
-                    stack_ref[sp] = entry
-                sp = sp + push.astype(jnp.int32)
-            return (sp, occ)
+            m = _slab_all_children(
+                bounds_ref, kind, ox, oy, oz, idx, idy, idz, tmin, window_hi
+            ) & valid_ref[0, kind, 0]
+            @pl.when(m != 0)
+            def _():
+                stack_ref[sp] = jax.lax.shift_left(kind, 8) | m
+            return (sp + (m != 0).astype(jnp.int32), occ)
 
         def leaf_case(ops):
             sp, occ = ops
-            cid = -(e + 1)
-            _, _, _, ok = _cluster_intersect(
+            cid = -(kind + 2)
+            ok = _cluster_intersect(
                 w_ref, cid, od8, tmin,
                 jnp.where(occ != 0, F32(0.0), tmax), occl=True
             )
@@ -249,9 +260,9 @@ def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, w_ref, rays_ref, out_occ,
                 sp, occ | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32)
             )
 
-        return jax.lax.cond(e >= 0, internal_case, leaf_case, (sp, occ))
+        return jax.lax.cond(kind >= 0, internal_case, leaf_case, (sp, occ))
 
-    init = (jnp.int32(1), jnp.zeros((1, PACKET), jnp.int32))
+    init = (sp0, jnp.zeros((1, PACKET), jnp.int32))
     _, occ = jax.lax.while_loop(cond, body, init)
     out_occ[0] = occ
 
@@ -287,30 +298,43 @@ def _flat(x, n):
     return x.reshape(-1)[:n]
 
 
+def _valid_bytes(meta):
+    """(D, Nn, 1) per-node pending-children bytes: bit c set iff child c
+    exists (trailing unit dim satisfies the SMEM block tiling rule)."""
+    bits = (meta != -1).astype(jnp.int32)
+    weights = (1 << jnp.arange(8, dtype=jnp.int32)).reshape(1, 1, 8)
+    return jnp.sum(bits * weights, axis=-1, keepdims=True)
+
+
 def _domain_specs(bounds, meta, w):
     """BlockSpecs that DMA ONE domain's BVH per grid step, selected by the
     scalar-prefetched bucket->domain map (MoE-router style).  Consecutive
     buckets with the same domain re-use the resident block (no re-DMA), so a
     domain is uploaded once per contiguous run."""
-    dsel = lambda b, dom_ref: jnp.maximum(dom_ref[b], 0)  # -1 = dead bucket
+    dsel = lambda b, dom_ref, ctz_ref: jnp.maximum(dom_ref[b], 0)
     return [
         pl.BlockSpec(
             (1,) + bounds.shape[1:],
-            lambda b, dref: (dsel(b, dref), 0, 0, 0),
+            lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
             (1,) + meta.shape[1:],
-            lambda b, dref: (dsel(b, dref), 0, 0),
+            lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0),
             memory_space=pltpu.SMEM,  # meta: scalar reads
         ),
         pl.BlockSpec(
+            (1, meta.shape[1], 1),
+            lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0),
+            memory_space=pltpu.SMEM,  # valid bytes: scalar reads
+        ),
+        pl.BlockSpec(
             (1,) + w.shape[1:],
-            lambda b, dref: (dsel(b, dref), 0, 0, 0),
+            lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 6, 2 * PACKET), lambda b, dref: (b, 0, 0),
+            (1, 6, 2 * PACKET), lambda b, dref, ctz: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -319,36 +343,43 @@ def _domain_specs(bounds, meta, w):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     """bounds (D,Nn,8,6), meta (D,Nn,8), w (D,Nc,4,3C), bucket_dom (P,) i32:
-    packet i traverses domain bucket_dom[i] (D=1 single-domain: zeros)."""
+    packet i traverses domain bucket_dom[i] (D=1 single-domain: zeros).
+    Returns (t, code) each (P, 1, PACKET); code = cluster*CLUSTER + row."""
     p = rays_aug.shape[0]
+    valid = _valid_bytes(meta)
+    ctz = jnp.asarray(_CTZ_TABLE)
     out_spec = pl.BlockSpec(
-        (1, 1, PACKET), lambda b, dref: (b, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, PACKET), lambda b, dref, ctzr: (b, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     oshape = jax.ShapeDtypeStruct((p, 1, PACKET), jnp.float32)
     oishape = jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(p,),
         in_specs=_domain_specs(bounds, meta, w),
-        out_specs=[out_spec] * 4,
+        out_specs=[out_spec] * 2,
         scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
     )
     return pl.pallas_call(
         _nearest_kernel,
         grid_spec=grid_spec,
-        out_shape=[oshape, oishape, oshape, oshape],
+        out_shape=[oshape, oishape],
         interpret=interpret,
-    )(bucket_dom, bounds, meta, w, rays_aug)
+    )(bucket_dom, ctz, bounds, meta, valid, w, rays_aug)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     p = rays_aug.shape[0]
+    valid = _valid_bytes(meta)
+    ctz = jnp.asarray(_CTZ_TABLE)
     out_spec = pl.BlockSpec(
-        (1, 1, PACKET), lambda b, dref: (b, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, PACKET), lambda b, dref, ctzr: (b, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(p,),
         in_specs=_domain_specs(bounds, meta, w),
         out_specs=out_spec,
@@ -359,11 +390,41 @@ def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32),
         interpret=interpret,
-    )(bucket_dom, bounds, meta, w, rays_aug)
+    )(bucket_dom, ctz, bounds, meta, valid, w, rays_aug)
+
+
+def tri_soa_from_scene(scene):
+    """(v0, e1, e2) jnp arrays in ORIGINAL face order, for hit-attribute
+    recompute (the kernels return only (t, prim); barycentrics come from one
+    Möller–Trumbore against the committed triangle)."""
+    verts = np.asarray(scene.vertices, np.float32)
+    faces = np.asarray(scene.faces, np.int64)
+    tv = verts[faces.reshape(-1)].reshape(-1, 3, 3)
+    return (
+        jnp.asarray(tv[:, 0]),
+        jnp.asarray(tv[:, 1] - tv[:, 0]),
+        jnp.asarray(tv[:, 2] - tv[:, 0]),
+    )
+
+
+def attrs_for_prims(v0, e1, e2, prim, o, d, t_kernel, tmax):
+    """Recompute (t, u, v) for committed prim ids (outside the kernel).
+
+    Same formula as the brute oracle, so parity with it is exact; t falls
+    back to the kernel's value where the analytic recompute disagrees on
+    validity (grazing hits at f32 precision).
+    """
+    safe = jnp.maximum(prim, 0)
+    t, u, v, ok = geom.moller_trumbore(
+        o, d, v0[safe], e1[safe], e2[safe], jnp
+    )
+    valid = prim >= 0
+    t = jnp.where(valid & ok, t, jnp.where(valid, t_kernel, tmax))
+    return t, jnp.where(valid, u, 0.0), jnp.where(valid, v, 0.0), valid
 
 
 @register_intersector_pytree(
-    leaves=("bounds", "meta", "w", "tri_ids"),
+    leaves=("bounds", "meta", "w", "tri_ids", "v0", "e1", "e2"),
     aux=("nn", "nc", "interpret"),
     drop=("host",),
 )
@@ -374,7 +435,7 @@ class ClusterBVHIntersector:
     closing over it turns the BVH into per-execution-streamed HLO constants
     (see core/pytree.py)."""
 
-    def __init__(self, scene=None, cbvh: ClusterBVH = None, interpret=None):
+    def __init__(self, scene, cbvh: ClusterBVH = None, interpret=None):
         if cbvh is None:
             cbvh = build_cluster_bvh(
                 np.asarray(scene.vertices), np.asarray(scene.faces)
@@ -384,6 +445,7 @@ class ClusterBVHIntersector:
         self.meta = jnp.asarray(cbvh.meta)[None]
         self.w = jnp.asarray(cbvh.w)[None]
         self.tri_ids = jnp.asarray(cbvh.tri_ids.reshape(-1))
+        self.v0, self.e1, self.e2 = tri_soa_from_scene(scene)
         self.nn = cbvh.num_nodes
         self.nc = cbvh.num_clusters
         self.interpret = common.use_interpret() if interpret is None else interpret
@@ -391,13 +453,15 @@ class ClusterBVHIntersector:
     def intersect(self, o, d, tmin, tmax):
         rays_aug, n = _rays_to_aug(o, d, tmin, tmax)
         bucket_dom = jnp.zeros(rays_aug.shape[0], jnp.int32)
-        t, code, u, v = _nearest_call(
+        t, code = _nearest_call(
             bucket_dom, self.bounds, self.meta, self.w, rays_aug,
             self.interpret,
         )
-        t, code, u, v = _flat(t, n), _flat(code, n), _flat(u, n), _flat(v, n)
+        t, code = _flat(t, n), _flat(code, n)
         prim = jnp.where(code >= 0, self.tri_ids[jnp.maximum(code, 0)], -1)
-        valid = prim >= 0
+        t, u, v, valid = attrs_for_prims(
+            self.v0, self.e1, self.e2, prim, o, d, t, tmax
+        )
         return Hits(
             t=jnp.where(valid, t, tmax), prim=prim.astype(jnp.int32),
             u=u, v=v, valid=valid,
