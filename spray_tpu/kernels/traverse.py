@@ -158,6 +158,7 @@ def _nearest_kernel(dom_ref, ctz_ref, bounds_ref, meta_ref, valid_ref, w_ref,
     # dom_ref: (NB,) scalar-prefetch bucket->domain map driving the BlockSpec
     # index maps (which domain's BVH is DMA'd for this program).
     # ctz_ref: (256,) scalar-prefetch count-trailing-zeros table.
+    # meta_ref: (1, 1, Nn*8) flat; valid_ref: (1, 1, Nn) — see _domain_specs.
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
     row = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, PACKET), 0)
 
@@ -173,14 +174,14 @@ def _nearest_kernel(dom_ref, ctz_ref, bounds_ref, meta_ref, valid_ref, w_ref,
     def body(carry):
         sp, best_t, best_code = carry
         sp, nid, c = _pop_child(ctz_ref, stack_ref, sp)
-        kind = meta_ref[0, nid, c]
+        kind = meta_ref[0, 0, nid * 8 + c]
 
         def internal_case(ops):
             sp, best_t, best_code = ops
             window_hi = jnp.minimum(tmax, best_t)
             m = _slab_all_children(
                 bounds_ref, kind, ox, oy, oz, idx, idy, idz, tmin, window_hi
-            ) & valid_ref[0, kind, 0]
+            ) & valid_ref[0, 0, kind]
             @pl.when(m != 0)
             def _():
                 stack_ref[sp] = jax.lax.shift_left(kind, 8) | m
@@ -236,14 +237,14 @@ def _anyhit_kernel(dom_ref, ctz_ref, bounds_ref, meta_ref, valid_ref, w_ref,
     def body(carry):
         sp, occ = carry  # occ: (1, PACKET) int32
         sp, nid, c = _pop_child(ctz_ref, stack_ref, sp)
-        kind = meta_ref[0, nid, c]
+        kind = meta_ref[0, 0, nid * 8 + c]
 
         def internal_case(ops):
             sp, occ = ops
             window_hi = jnp.where(occ != 0, F32(0.0), tmax)
             m = _slab_all_children(
                 bounds_ref, kind, ox, oy, oz, idx, idy, idz, tmin, window_hi
-            ) & valid_ref[0, kind, 0]
+            ) & valid_ref[0, 0, kind]
             @pl.when(m != 0)
             def _():
                 stack_ref[sp] = jax.lax.shift_left(kind, 8) | m
@@ -299,14 +300,17 @@ def _flat(x, n):
 
 
 def _valid_bytes(meta):
-    """(D, Nn, 1) per-node pending-children bytes: bit c set iff child c
-    exists (trailing unit dim satisfies the SMEM block tiling rule)."""
+    """(D, Nn) per-node pending-children bytes: bit c set iff child c exists.
+
+    Kept FLAT (no trailing unit dim): SMEM windows are tile-padded to
+    (8, 128) on their last two dims, so a (Nn, 1) window would burn 128x its
+    size — the 1 MiB SMEM OOM that killed bench compiles at 21 domains."""
     bits = (meta != -1).astype(jnp.int32)
     weights = (1 << jnp.arange(8, dtype=jnp.int32)).reshape(1, 1, 8)
-    return jnp.sum(bits * weights, axis=-1, keepdims=True)
+    return jnp.sum(bits * weights, axis=-1)[:, None, :]  # (D, 1, Nn)
 
 
-def _domain_specs(bounds, meta, w):
+def _domain_specs(bounds, meta, valid_cols, w):
     """BlockSpecs that DMA ONE domain's BVH per grid step, selected by the
     scalar-prefetched bucket->domain map (MoE-router style).  Consecutive
     buckets with the same domain re-use the resident block (no re-DMA), so a
@@ -318,13 +322,18 @@ def _domain_specs(bounds, meta, w):
             lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        # meta/valid are FLAT (D, 1, Nn*8) / (D, 1, Nn): SMEM windows are
+        # tile-padded to (8, 128) on their last two dims, so the natural
+        # (1, Nn, 8) layout costs 568 KB/buffer (SMEM is 1 MiB total) vs
+        # ~150 KB flattened.  The middle unit dim satisfies Mosaic's
+        # "last two block dims equal array dims or divisible" rule.
         pl.BlockSpec(
-            (1,) + meta.shape[1:],
+            (1, 1, meta.shape[2]),
             lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0),
             memory_space=pltpu.SMEM,  # meta: scalar reads
         ),
         pl.BlockSpec(
-            (1, meta.shape[1], 1),
+            (1, 1, valid_cols),
             lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0),
             memory_space=pltpu.SMEM,  # valid bytes: scalar reads
         ),
@@ -347,6 +356,7 @@ def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     Returns (t, code) each (P, 1, PACKET); code = cluster*CLUSTER + row."""
     p = rays_aug.shape[0]
     valid = _valid_bytes(meta)
+    meta_flat = meta.reshape(meta.shape[0], 1, -1)
     ctz = jnp.asarray(_CTZ_TABLE)
     out_spec = pl.BlockSpec(
         (1, 1, PACKET), lambda b, dref, ctzr: (b, 0, 0),
@@ -357,7 +367,7 @@ def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(p,),
-        in_specs=_domain_specs(bounds, meta, w),
+        in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w),
         out_specs=[out_spec] * 2,
         scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
     )
@@ -366,13 +376,14 @@ def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
         grid_spec=grid_spec,
         out_shape=[oshape, oishape],
         interpret=interpret,
-    )(bucket_dom, ctz, bounds, meta, valid, w, rays_aug)
+    )(bucket_dom, ctz, bounds, meta_flat, valid, w, rays_aug)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     p = rays_aug.shape[0]
     valid = _valid_bytes(meta)
+    meta_flat = meta.reshape(meta.shape[0], 1, -1)
     ctz = jnp.asarray(_CTZ_TABLE)
     out_spec = pl.BlockSpec(
         (1, 1, PACKET), lambda b, dref, ctzr: (b, 0, 0),
@@ -381,7 +392,7 @@ def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(p,),
-        in_specs=_domain_specs(bounds, meta, w),
+        in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w),
         out_specs=out_spec,
         scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
     )
@@ -390,7 +401,7 @@ def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32),
         interpret=interpret,
-    )(bucket_dom, ctz, bounds, meta, valid, w, rays_aug)
+    )(bucket_dom, ctz, bounds, meta_flat, valid, w, rays_aug)
 
 
 def tri_soa_from_scene(scene):
