@@ -172,6 +172,9 @@ def wisp_cloud(n_blobs=64, tris_per_blob=2048, extent=8.0, seed=3,
     subdiv = max(0, int(np.ceil(np.log(tris_per_blob / 20.0) / np.log(4.0))))
     parts = []
     side = int(np.ceil(n_blobs ** (1.0 / 3.0)))
+    emissive = rng.uniform(size=n_blobs) < emissive_frac
+    if emissive_frac > 0 and not emissive.any():
+        emissive[0] = True  # guarantee a light: a lightless PT bench is hollow
     for i in range(n_blobs):
         if layout == "grid":
             gx, gy, gz = i % side, (i // side) % side, i // (side * side)
@@ -185,7 +188,7 @@ def wisp_cloud(n_blobs=64, tris_per_blob=2048, extent=8.0, seed=3,
         s = bumpy_sphere(
             subdiv, center, radius, bump=0.15, seed=seed + i, albedo=albedo
         )
-        if rng.uniform() < emissive_frac:
+        if emissive[i]:
             em = np.tile(rng.uniform(2, 8, 3).astype(np.float32), (s.num_faces, 1))
             s = _scene(s.vertices, s.faces, s.albedo, em)
         parts.append(s)

@@ -73,9 +73,17 @@ def tri_transforms(v0, e1, e2):
     return out
 
 
-def _build_cluster_bvh_morton(vertices, faces, branching=8):
+def build_clusters(vertices, faces):
+    """Morton-order tris into CLUSTER-sized groups with MXU transform layout.
+
+    Returns (w (Nc,4,3C) f32, tri_ids (Nc,C) i32, clo (Nc,3), chi (Nc,3)).
+    Shared by the packet-traversal BVH (this module) and the binned
+    cull+visit tracer (kernels/binned.py).
+    """
     from .. import native  # noqa: PLC0415
 
+    vertices = np.asarray(vertices, np.float32)
+    faces = np.asarray(faces, np.int64)
     tv = vertices[faces.reshape(-1)].reshape(-1, 3, 3)
     ntri = len(tv)
     tlo = tv.min(1)
@@ -104,6 +112,14 @@ def _build_cluster_bvh_morton(vertices, faces, branching=8):
     phi = np.where(valid[:, None], thi[safe], -np.inf).reshape(nc, CLUSTER, 3)
     clo = plo.min(1)
     chi = phi.max(1)
+    return (
+        np.ascontiguousarray(w.astype(np.float32)), ids,
+        clo.astype(np.float32), chi.astype(np.float32),
+    )
+
+
+def _build_cluster_bvh_morton(vertices, faces, branching=8):
+    w, ids, clo, chi = build_clusters(vertices, faces)
     bounds, meta = _build_range_tree(clo, chi, branching)
     return ClusterBVH(
         bounds=bounds, meta=meta, w=np.ascontiguousarray(w.astype(np.float32)),

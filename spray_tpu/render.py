@@ -30,6 +30,10 @@ def default_intersector(scene, prefer="auto"):
     if prefer == "brute" or (prefer == "auto" and ntris <= 256):
         return BruteIntersector(scene, jnp)
     if prefer == "pallas" or (prefer == "auto" and jax.default_backend() == "tpu"):
+        from .kernels.binned import BinnedIntersector  # noqa: PLC0415
+
+        return BinnedIntersector(scene)
+    if prefer == "multidomain":
         from .kernels.multidomain import MultiDomainClusterIntersector  # noqa: PLC0415
 
         return MultiDomainClusterIntersector(scene)
