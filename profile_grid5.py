@@ -1,0 +1,84 @@
+"""Honest per-step floor: scalar-reduced outputs, tile-aligned vs partial."""
+import sys, time
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).parent))
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NV = 8192
+P = 512
+C = 128
+np.random.seed(0)
+rays8 = jnp.asarray(np.random.randn(P, 8, 1024).astype(np.float32))
+rays6 = jnp.asarray(np.random.randn(P, 6, 1024).astype(np.float32))
+tri9 = jnp.asarray(np.random.randn(2562, 9, 1024).astype(np.float32))
+tri16 = jnp.asarray(np.random.randn(2562, 16, 1024).astype(np.float32))
+it8 = jnp.asarray((np.random.rand(P, 8, 512)*100+50).astype(np.float32))
+it1 = jnp.asarray((np.random.rand(P, 1, 512)*100+50).astype(np.float32))
+pkt_of = jnp.asarray(np.repeat(np.arange(P, dtype=np.int32), NV // P))
+sn_of = jnp.asarray(np.random.randint(0, 2562, NV).astype(np.int32))
+nvp = NV // P
+first = jnp.asarray(np.tile((np.arange(nvp) == 0).astype(np.int32), P))
+last = jnp.asarray(np.tile((np.arange(nvp) == nvp - 1).astype(np.int32), P))
+A4 = (pkt_of, sn_of, first, last)
+
+def run(name, specs, outshape, kernel, arrays, scratch, grid=NV):
+    gs = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4, grid=(grid,), in_specs=specs,
+        out_specs=pl.BlockSpec((1,) + outshape[1:], lambda v, *s: (s[0][v], 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=scratch)
+    pc = pl.pallas_call(kernel, grid_spec=gs,
+        out_shape=jax.ShapeDtypeStruct(outshape, jnp.float32))
+    f = jax.jit(lambda *a: jnp.sum(pc(*a)))
+    out = f(*A4, *arrays); _ = float(out)
+    ts = []
+    for _ in range(3):
+        t0 = time.time(); out = f(*A4, *arrays); _ = float(out)
+        ts.append(time.time()-t0)
+    print(f"{name}: {min(ts)*1e3:.2f} ms = {min(ts)/grid*1e9:.0f} ns/step", flush=True)
+
+spec = lambda shp, fn: pl.BlockSpec(shp, fn, memory_space=pltpu.VMEM)
+bypkt = lambda shp: spec(shp, lambda v, pr, sr, fr, lr: (pr[v], 0, 0))
+bysn = lambda shp: spec(shp, lambda v, pr, sr, fr, lr: (sr[v], 0, 0))
+
+def k_triv8(pr, sr, fr, lr, rays_ref, it_ref, out_ref, acc):
+    v = pl.program_id(0)
+    @pl.when(fr[v] != 0)
+    def _():
+        acc[...] = it_ref[0]
+    acc[...] = jnp.minimum(acc[...], rays_ref[0, :, 0:512] + 200.0)
+    @pl.when(lr[v] != 0)
+    def _():
+        out_ref[0] = acc[...]
+
+run("J0 aligned 8-subl     ", [bypkt((1,8,1024)), bypkt((1,8,512))], (P,8,512),
+    k_triv8, (rays8, it8), [pltpu.VMEM((8,512), jnp.float32)])
+
+def k_triv1(pr, sr, fr, lr, rays_ref, it_ref, out_ref, acc):
+    v = pl.program_id(0)
+    @pl.when(fr[v] != 0)
+    def _():
+        acc[...] = it_ref[0]
+    acc[...] = jnp.minimum(acc[...], rays_ref[0, 0:1, 0:512] + 200.0)
+    @pl.when(lr[v] != 0)
+    def _():
+        out_ref[0] = acc[...]
+
+run("J2 partial 1-subl     ", [bypkt((1,6,1024)), bypkt((1,1,512))], (P,1,512),
+    k_triv1, (rays6, it1), [pltpu.VMEM((1,512), jnp.float32)])
+
+def k_tri_stream(pr, sr, fr, lr, rays_ref, tri_ref, it_ref, out_ref, acc):
+    v = pl.program_id(0)
+    @pl.when(fr[v] != 0)
+    def _():
+        acc[...] = it_ref[0]
+    acc[...] = jnp.minimum(acc[...], tri_ref[0, :, 0:512] * 0.001 + rays_ref[0, :, 0:512])
+    @pl.when(lr[v] != 0)
+    def _():
+        out_ref[0] = acc[...]
+
+run("J3 + tri9 36KB stream ", [bypkt((1,8,1024)), bysn((1,9,1024)), bypkt((1,8,512))], (P,8,512),
+    lambda pr,sr,fr,lr,rr,tr,ir,orf,acc: k_tri_stream(pr,sr,fr,lr,rr,tr,ir,orf,acc),
+    (rays8, tri9, it8), [pltpu.VMEM((8,512), jnp.float32)])

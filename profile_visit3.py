@@ -1,0 +1,48 @@
+import sys, time
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).parent))
+import numpy as np
+import jax, jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+P, C, NC = 512, 128, 256
+
+def mk(niter, b, prec):
+    def kernel(w_ref, od_ref, out_ref):
+        def body(i, acc):
+            cid = jax.lax.rem(i, NC // b) * b
+            wmat = w_ref[pl.ds(cid, b)].reshape(4 * b, 3 * C) if False else jnp.concatenate([w_ref[cid + k] for k in range(b)], axis=1)
+            odp = jax.lax.dot_general(wmat, od_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            op = odp[:, 0:P]; dp = odp[:, P:]
+            best = acc
+            for k in range(b):
+                s = k*3*C
+                ow = op[s+2*C:s+3*C]; dw = dp[s+2*C:s+3*C]
+                ou = op[s:s+C]; du = dp[s:s+C]; ov = op[s+C:s+2*C]; dv = dp[s+C:s+2*C]
+                dw_ok = jnp.abs(dw) > 1e-20
+                t = -ow / jnp.where(dw_ok, dw, 1.0)
+                u = ou + t * du; v = ov + t * dv
+                ok = dw_ok & (t >= 0) & (u >= 0) & (v >= 0) & (u + v <= 1)
+                best = jnp.minimum(best, jnp.min(jnp.where(ok, t, np.inf), axis=0, keepdims=True))
+            return best
+        out_ref[...] = jax.lax.fori_loop(0, niter, body, jnp.full((1, P), np.inf, jnp.float32))
+    return kernel
+
+np.random.seed(0)
+w = jnp.asarray(np.random.randn(NC, 4, 3 * C).astype(np.float32))
+od = jnp.asarray(np.random.randn(4, 2 * P).astype(np.float32))
+variant = sys.argv[1] if len(sys.argv) > 1 else "4H"
+b = int(variant[0])
+prec = jax.lax.Precision.HIGHEST if variant[1] == "H" else jax.lax.Precision.DEFAULT
+for niter in (256, 2048):
+    t0 = time.time()
+    f = jax.jit(pl.pallas_call(mk(niter, b, prec), out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32)))
+    out = f(w, od); out.block_until_ready()
+    print(f"compiled niter={niter} in {time.time()-t0:.1f}s", flush=True)
+    ts = []
+    for _ in range(5):
+        t0 = time.time(); out = f(w, od); out.block_until_ready()
+        ts.append(time.time() - t0)
+    tot = min(ts)
+    print(f"b={b} {variant}: niter={niter}: {tot*1e3:.3f} ms, {tot/niter*1e9:.0f} ns/iter, {tot/(niter*b)*1e9:.0f} ns/visit, sum={float(out.sum()):.3e}", flush=True)

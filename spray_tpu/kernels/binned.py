@@ -55,7 +55,31 @@ from ..core.pytree import register_intersector_pytree
 from ..core.types import Hits
 from . import common
 from .cluster_bvh import CLUSTER, build_clusters
-from .traverse import PACKET, _rays_to_aug, _flat, attrs_for_prims, tri_soa_from_scene
+from .traverse import attrs_for_prims, tri_soa_from_scene
+
+BP = 128  # rays per visit packet.  Smaller than traverse.PACKET (512): an
+# incoherent visit's Moller-Trumbore cost is C*BP lanes regardless of how
+# many rays want the cluster, so narrower packets waste 4x less on bounce
+# wavefronts; the extra grid steps ride the ~0.25us step floor.
+
+
+def _rays_to_aug(o, d, tmin, tmax):
+    """(N,...) rays -> (P, 6, 2*BP) blocks + count (cf. traverse layout)."""
+    n = o.shape[0]
+    npad = common.round_up(max(n, BP), BP)
+    o = common.pad_to(o, npad)
+    d = common.pad_to(d, npad, value=1.0)
+    tmin = common.pad_to(tmin, npad, value=1.0)
+    tmax = common.pad_to(tmax, npad, value=0.0)  # empty window: never hits
+    p_ = npad // BP
+    ob = o.reshape(p_, BP, 3).transpose(0, 2, 1)
+    db = d.reshape(p_, BP, 3).transpose(0, 2, 1)
+    left = jnp.concatenate(
+        [ob, jnp.ones((p_, 1, BP), jnp.float32),
+         tmin.reshape(p_, 1, BP), tmax.reshape(p_, 1, BP)], axis=1)
+    right = jnp.concatenate(
+        [db, jnp.zeros((p_, 3, BP), jnp.float32)], axis=1)
+    return jnp.concatenate([left, right], axis=2), n
 
 GROUP = 8  # clusters per supernode
 F32 = jnp.float32
@@ -144,16 +168,16 @@ class BinnedScene:
 def packet_intervals(aug):
     """Per-packet conservative ray bounds over LIVE rays.
 
-    aug: (P, 6, 2*PACKET).  A ray is live iff its window is non-empty
+    aug: (P, 6, 2*BP).  A ray is live iff its window is non-empty
     (tmax > tmin); dead/padding rays are excluded from the hull so retired
     rays never widen the frustum.
     Returns dict of (P, 3) olo/ohi/dlo/dhi and (P,) tlo.
     """
-    o = aug[:, 0:3, 0:PACKET]  # (P, 3, PACKET)
-    d = aug[:, 0:3, PACKET:]
-    tmin = aug[:, 4:5, 0:PACKET]  # (P, 1, PACKET)
-    tmax = aug[:, 5:6, 0:PACKET]
-    live = tmax > tmin  # (P, 1, PACKET)
+    o = aug[:, 0:3, 0:BP]  # (P, 3, BP)
+    d = aug[:, 0:3, BP:]
+    tmin = aug[:, 4:5, 0:BP]  # (P, 1, BP)
+    tmax = aug[:, 5:6, 0:BP]
+    live = tmax > tmin  # (P, 1, BP)
     big = F32(3e38)
     olo = jnp.min(jnp.where(live, o, big), axis=2)
     ohi = jnp.max(jnp.where(live, o, -big), axis=2)
@@ -226,8 +250,8 @@ def supernode_entries(ivals, sbox):
 
 
 def _visit_rows(rays_ref):
-    r = rays_ref[0]  # (6, 2*PACKET)
-    p = PACKET
+    r = rays_ref[0]  # (6, 2*BP)
+    p = BP
     o3 = (r[0:1, 0:p], r[1:2, 0:p], r[2:3, 0:p])
     d3 = (r[0:1, p:], r[1:2, p:], r[2:3, p:])
     tmin = r[4:5, 0:p]
@@ -243,7 +267,7 @@ def _mt_cluster(tri_ref, k, o3, d3):
     """Moller-Trumbore of cluster k's C tris vs the packet — SAME formula as
     core.geom.moller_trumbore (f32, EPS 1e-7): oracle parity is structural.
 
-    Returns (t (C,PACKET) with +inf misses before windowing, u-v unused).
+    Returns (t (C,BP) with +inf misses before windowing, u-v unused).
     """
     c = CLUSTER
     s = k * c
@@ -293,14 +317,14 @@ def _nearest_kernel(pkt_ref, sn_ref, mask_ref, first_ref, last_ref,
     def _():
         o3, d3, _, tmin, _ = _visit_rows(rays_ref)
         sn = sn_ref[v]
-        row = jax.lax.broadcasted_iota(jnp.int32, (c, PACKET), 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (c, BP), 0)
         for k in range(GROUP):
             @pl.when((mask & (1 << k)) != 0)
             def _(k=k):
                 tm = _mt_cluster(tri_ref, k, o3, d3)
                 cur = acc_t[...]
                 tm = jnp.where((tm >= tmin) & (tm < cur), tm, INF)
-                trow = jnp.min(tm, axis=0, keepdims=True)  # (1, PACKET)
+                trow = jnp.min(tm, axis=0, keepdims=True)  # (1, BP)
                 improved = trow < cur
                 jsel = jnp.min(
                     jnp.where(tm == trow, row, jnp.int32(c)),
@@ -348,7 +372,7 @@ def _anyhit_kernel(pkt_ref, sn_ref, mask_ref, first_ref, last_ref,
 
 def _visit_specs(tri9):
     ray_spec = pl.BlockSpec(
-        (1, 6, 2 * PACKET), lambda v, pr, sr, mr, fr, lr: (pr[v], 0, 0),
+        (1, 6, 2 * BP), lambda v, pr, sr, mr, fr, lr: (pr[v], 0, 0),
         memory_space=pltpu.VMEM,
     )
     tri_spec = pl.BlockSpec(
@@ -356,7 +380,7 @@ def _visit_specs(tri9):
         memory_space=pltpu.VMEM,
     )
     pkt_spec = pl.BlockSpec(
-        (1, 1, PACKET), lambda v, pr, sr, mr, fr, lr: (pr[v], 0, 0),
+        (1, 1, BP), lambda v, pr, sr, mr, fr, lr: (pr[v], 0, 0),
         memory_space=pltpu.VMEM,
     )
     return ray_spec, tri_spec, pkt_spec
@@ -375,16 +399,16 @@ def _nearest_visits(pkt_of, sn_of, cmask, first, last, rays_aug, tri9,
         in_specs=[ray_spec, tri_spec, pkt_spec, pkt_spec],
         out_specs=[pkt_spec, pkt_spec],
         scratch_shapes=[
-            pltpu.VMEM((1, PACKET), jnp.float32),
-            pltpu.VMEM((1, PACKET), jnp.int32),
+            pltpu.VMEM((1, BP), jnp.float32),
+            pltpu.VMEM((1, BP), jnp.int32),
         ],
     )
     return pl.pallas_call(
         _nearest_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((p, 1, PACKET), jnp.float32),
-            jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32),
+            jax.ShapeDtypeStruct((p, 1, BP), jnp.float32),
+            jax.ShapeDtypeStruct((p, 1, BP), jnp.int32),
         ],
         interpret=interpret,
     )(pkt_of, sn_of, cmask, first, last, rays_aug, tri9, best_t, best_code)
@@ -401,12 +425,12 @@ def _anyhit_visits(pkt_of, sn_of, cmask, first, last, rays_aug, tri9, occ,
         grid=(nv,),
         in_specs=[ray_spec, tri_spec, pkt_spec],
         out_specs=pkt_spec,
-        scratch_shapes=[pltpu.VMEM((1, PACKET), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((1, BP), jnp.int32)],
     )
     return pl.pallas_call(
         _anyhit_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((p, 1, BP), jnp.int32),
         interpret=interpret,
     )(pkt_of, sn_of, cmask, first, last, rays_aug, tri9, occ)
 
@@ -496,7 +520,7 @@ def _phase_nearest(tri9, cbox, sbox, state, p_sub, k, cap_next, last_phase,
     o, d, t_front, best_t, best_code, idx = state
     s = sbox.shape[0]
     s_null = tri9.shape[0] - 1
-    nsub = p_sub * PACKET
+    nsub = p_sub * BP
     aug, _ = _rays_to_aug(
         o[:nsub], d[:nsub], t_front[:nsub], best_t[:nsub]
     )
@@ -504,9 +528,9 @@ def _phase_nearest(tri9, cbox, sbox, state, p_sub, k, cap_next, last_phase,
     entry = supernode_entries(ivals, sbox)  # (p_sub, S)
     order, ent_sorted = _sorted_order(entry, k)
     pkt_of, first, last = _visit_flags(p_sub, k)
-    bt = best_t[:nsub].reshape(p_sub, 1, PACKET)
-    bc = best_code[:nsub].reshape(p_sub, 1, PACKET)
-    tf = t_front[:nsub].reshape(p_sub, 1, PACKET)
+    bt = best_t[:nsub].reshape(p_sub, 1, BP)
+    bc = best_code[:nsub].reshape(p_sub, 1, BP)
+    tf = t_front[:nsub].reshape(p_sub, 1, BP)
 
     def nxt_of(r):
         v = jax.lax.dynamic_slice_in_dim(
@@ -563,7 +587,7 @@ def _phase_anyhit(tri9, cbox, sbox, state, p_sub, k, cap_next, last_phase,
     o, d, t_front, tmax_eff, occ_flat, idx = state
     s = sbox.shape[0]
     s_null = tri9.shape[0] - 1
-    nsub = p_sub * PACKET
+    nsub = p_sub * BP
     # occluded rays carry an empty window so they leave the frustum hull
     win = jnp.where(occ_flat[:nsub] != 0, F32(0.0), tmax_eff[:nsub])
     aug, _ = _rays_to_aug(o[:nsub], d[:nsub], t_front[:nsub], win)
@@ -571,9 +595,9 @@ def _phase_anyhit(tri9, cbox, sbox, state, p_sub, k, cap_next, last_phase,
     entry = supernode_entries(ivals, sbox)
     order, ent_sorted = _sorted_order(entry, k)
     pkt_of, first, last = _visit_flags(p_sub, k)
-    occ = occ_flat[:nsub].reshape(p_sub, 1, PACKET)
-    winb = win.reshape(p_sub, 1, PACKET)
-    tfb = t_front[:nsub].reshape(p_sub, 1, PACKET)
+    occ = occ_flat[:nsub].reshape(p_sub, 1, BP)
+    winb = win.reshape(p_sub, 1, BP)
+    tfb = t_front[:nsub].reshape(p_sub, 1, BP)
 
     def nxt_of(r):
         v = jax.lax.dynamic_slice_in_dim(
@@ -631,10 +655,10 @@ def _compact(state, done):
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def _binned_nearest(scene_arrays, o, d, tmin, tmax_eff, k, interpret):
-    """Flat in, flat out (input ray order); len(o) % PACKET == 0."""
+    """Flat in, flat out (input ray order); len(o) % BP == 0."""
     tri9, cbox, sbox = scene_arrays
     npad = o.shape[0]
-    p = npad // PACKET
+    p = npad // BP
     best_t = tmax_eff
     best_code = jnp.full(npad, -1, jnp.int32)
     idx = jnp.arange(npad, dtype=jnp.int32)
@@ -642,7 +666,7 @@ def _binned_nearest(scene_arrays, o, d, tmin, tmax_eff, k, interpret):
     sizes = _phase_sizes(p, k, sbox.shape[0])
     for i, (p_sub, kk) in enumerate(sizes):
         last_phase = i == len(sizes) - 1
-        cap_next = 0 if last_phase else sizes[i + 1][0] * PACKET
+        cap_next = 0 if last_phase else sizes[i + 1][0] * BP
         state = _phase_nearest(
             tri9, cbox, sbox, state, p_sub, kk, cap_next, last_phase,
             interpret,
@@ -661,14 +685,14 @@ def _binned_nearest(scene_arrays, o, d, tmin, tmax_eff, k, interpret):
 def _binned_anyhit(scene_arrays, o, d, tmin, tmax_eff, k, interpret):
     tri9, cbox, sbox = scene_arrays
     npad = o.shape[0]
-    p = npad // PACKET
+    p = npad // BP
     occ = jnp.zeros(npad, jnp.int32)
     idx = jnp.arange(npad, dtype=jnp.int32)
     state = (o, d, tmin, tmax_eff, occ, idx)
     sizes = _phase_sizes(p, k, sbox.shape[0])
     for i, (p_sub, kk) in enumerate(sizes):
         last_phase = i == len(sizes) - 1
-        cap_next = 0 if last_phase else sizes[i + 1][0] * PACKET
+        cap_next = 0 if last_phase else sizes[i + 1][0] * BP
         state = _phase_anyhit(
             tri9, cbox, sbox, state, p_sub, kk, cap_next, last_phase,
             interpret,
@@ -705,7 +729,11 @@ def sort_key(o, d, tmin, tmax, world_lo, world_hi):
     rays make packet frustums cover the whole scene and the chase loop
     degenerate (SURVEY.md §7.3 #1 ray-locality).
     """
-    # 9 bits/axis: (27-bit morton << 3) | octant stays within int32
+    # Key (30 bits): octant (3) | origin morton (27).  Group count must stay
+    # comparable to the packet count — finer direction bins fragment rays
+    # into tiny groups, packets then span many groups with mixed direction
+    # signs, and the conservative frustum degenerates to the whole scene
+    # (measured: 128-bin cube-map keys made candidates WORSE, p50 245->2561).
     ext = jnp.maximum(world_hi - world_lo, F32(1e-12))
     q = jnp.clip(
         ((o - world_lo) / ext * F32(511.0)).astype(jnp.int32), 0, 511
@@ -719,9 +747,6 @@ def sort_key(o, d, tmin, tmax, world_lo, world_hi):
         | ((d[:, 1] < 0).astype(jnp.int32) << 1)
         | ((d[:, 2] < 0).astype(jnp.int32) << 2)
     )
-    # octant-MAJOR: a packet with mixed direction signs has unconstrained
-    # interval bounds (its frustum covers the whole scene), so octant purity
-    # dominates origin locality
     key = (octant << 27) | morton
     dead = tmax <= tmin
     return jnp.where(dead, jnp.int32(2**31 - 1), key)
@@ -785,7 +810,7 @@ class BinnedIntersector:
 
     def _pad_flat(self, o, d, tmin, tmax):
         n = o.shape[0]
-        npad = common.round_up(max(n, PACKET), PACKET)
+        npad = common.round_up(max(n, BP), BP)
         o = common.pad_to(o, npad)
         d = common.pad_to(d, npad, value=1.0)
         tmin = common.pad_to(tmin, npad, value=1.0)
