@@ -63,8 +63,12 @@ class DetachedIntersector:
         self.faces = faces
 
     def intersect(self, o, d, tmin, tmax):
+        # ALL inputs to the discrete search are detached (tmin/tmax carry
+        # tangents from earlier bounces' t / light distances; an undetached
+        # window would JVP-trace the Pallas kernels, which have no jvp rule).
         h = self.inner.intersect(
-            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), tmin, tmax
+            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+            jax.lax.stop_gradient(tmin), jax.lax.stop_gradient(tmax),
         )
         t, u, v, _ = reintersect(
             self.vertices, self.faces, h.prim, o, d, tmax, h.valid
@@ -73,7 +77,8 @@ class DetachedIntersector:
 
     def occluded(self, o, d, tmax):
         return self.inner.occluded(
-            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d), tmax
+            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+            jax.lax.stop_gradient(tmax),
         )
 
 
