@@ -21,12 +21,6 @@ import numpy as np
 TARGET_GRAYS = 2.0
 
 
-def count_rays(cfg, npix):
-    """Rays traced per frame sample: primary + bounces (+ NEE shadow rays)."""
-    per_path = (cfg.bounces + 1) + (cfg.bounces if cfg.nee else 0)
-    return npix * cfg.spp * per_path
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
@@ -62,16 +56,19 @@ def main():
 
     # warmup/compile
     t0 = time.time()
-    pipe.run()
+    out = pipe.run()
     compile_s = time.time() - t0
 
     times = []
     for _ in range(args.iters):
         t0 = time.time()
-        pipe.run()
+        out = pipe.run()
         times.append(time.time() - t0)
     dt = min(times)
-    rays = count_rays(cfg, camera.width * camera.height)
+    # ACTUAL trace activations (lanes with a live window per intersect /
+    # occluded call), counted inside the integrator — not a static upper
+    # bound (round 1 counted NEE shadow rays in a lightless scene: inflated).
+    rays = int(pipe.rays_traced(out))
     grays = rays / dt / 1e9
     print(
         json.dumps(

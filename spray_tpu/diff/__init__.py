@@ -105,8 +105,10 @@ def diff_scene_arrays(scene, params):
     }, vertices, faces
 
 
-def make_diff_render_fn(scene, camera, cfg, make_intersector=None):
-    """Returns render(params) -> image, differentiable w.r.t. params.
+def make_diff_render_fn(scene, camera, cfg, make_intersector=None,
+                        with_stats=False):
+    """Returns render(params) -> image, differentiable w.r.t. params
+    (or (image, rays_traced) when with_stats — actual trace activations).
 
     params: dict with any of 'vertices' (V,3), 'albedo' (F,3), 'emission' (F,3).
     NOTE: when 'vertices' is present the discrete intersector still uses the
@@ -132,18 +134,22 @@ def make_diff_render_fn(scene, camera, cfg, make_intersector=None):
         arrays, vertices, faces = diff_scene_arrays(scene, params)
         intersector = DetachedIntersector(isect, vertices, faces)
 
-        def body(acc, s):
-            return acc + wavefront.sample_wavefront(
-                arrays, camera, cfg, intersector, jnp, s, pixel_ids
-            ), None
+        def body(carry, s):
+            acc, nr = carry
+            rad, n = wavefront.sample_wavefront(
+                arrays, camera, cfg, intersector, jnp, s, pixel_ids,
+                with_stats=True,
+            )
+            return (acc + rad, nr + n), None
 
-        acc, _ = jax.lax.scan(
+        (acc, nrays), _ = jax.lax.scan(
             body,
-            jnp.zeros((npix, 3), jnp.float32),
+            (jnp.zeros((npix, 3), jnp.float32), jnp.zeros((), jnp.float32)),
             jnp.arange(cfg.spp, dtype=jnp.uint32),
         )
         img = jnp.zeros((npix, 3), jnp.float32).at[pixel_ids].set(acc)
-        return (img / cfg.spp).reshape(camera.height, camera.width, 3)
+        img = (img / cfg.spp).reshape(camera.height, camera.width, 3)
+        return (img, nrays) if with_stats else img
 
     render.base_intersector = base_intersector
     return render

@@ -24,8 +24,10 @@ def device_scene_arrays(scene):
     return wavefront.make_scene_arrays(scene, jnp)
 
 
-def make_render_fn(scene, camera, cfg, intersector=None, donate=False):
-    """Build a jit'd full-frame render fn: (scene_arrays) -> (H, W, 3) image.
+def make_render_fn(scene, camera, cfg, intersector=None, donate=False,
+                   with_stats=False):
+    """Build a jit'd full-frame render fn: (scene_arrays) -> (H, W, 3) image
+    (or (image, rays_traced) when with_stats — actual trace activations).
 
     scene_arrays is passed as an argument (not closed over) so material /
     geometry gradients can flow through it (spray_tpu.diff builds on this).
@@ -42,20 +44,26 @@ def make_render_fn(scene, camera, cfg, intersector=None, donate=False):
     # to the kernel every execution (~80x slower frames; see core/pytree.py).
     @functools.partial(jax.jit, static_argnames=("spp",))
     def render(scene_arrays, isect, spp):
-        def body(acc, s):
-            rad = wavefront.sample_wavefront(
-                scene_arrays, camera, cfg, isect, jnp, s, pixel_ids
+        def body(carry, s):
+            acc, nr = carry
+            rad, n = wavefront.sample_wavefront(
+                scene_arrays, camera, cfg, isect, jnp, s, pixel_ids,
+                with_stats=True,
             )
-            return acc + rad, None
+            return (acc + rad, nr + n), None
 
-        acc, _ = jax.lax.scan(
-            body, jnp.zeros((npix, 3), jnp.float32), jnp.arange(spp, dtype=jnp.uint32)
+        (acc, nrays), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((npix, 3), jnp.float32), jnp.zeros((), jnp.float32)),
+            jnp.arange(spp, dtype=jnp.uint32),
         )
         img = jnp.zeros((npix, 3), jnp.float32).at[pixel_ids].set(acc)
         img = img * jnp.float32(1.0 / spp)
-        return img.reshape(camera.height, camera.width, 3)
+        return img.reshape(camera.height, camera.width, 3), nrays
 
-    return lambda scene_arrays: render(scene_arrays, intersector, cfg.spp)
+    if with_stats:
+        return lambda scene_arrays: render(scene_arrays, intersector, cfg.spp)
+    return lambda scene_arrays: render(scene_arrays, intersector, cfg.spp)[0]
 
 
 def render_device(scene, camera, cfg, intersector=None):

@@ -46,9 +46,13 @@ def _shade_prep(o, d, hits, normals, xp, eps):
 
 
 def sample_wavefront(
-    scene_arrays, camera, cfg, intersector, xp, sample_idx, pixel_ids
+    scene_arrays, camera, cfg, intersector, xp, sample_idx, pixel_ids,
+    with_stats=False,
 ):
-    """Render ONE sample for the given flat pixel ids.  Returns (N, 3) radiance.
+    """Render ONE sample for the given flat pixel ids.  Returns (N, 3) radiance
+    (or (radiance, rays_traced) when with_stats — rays_traced counts ACTUAL
+    trace activations: lanes with a nonzero trace window per intersect/occluded
+    call, the honest Grays/s numerator; see VERDICT r2 weak#2).
 
     scene_arrays: dict with 'albedo' (F,3), 'emission' (F,3), 'normals' (F,3),
     'offset_eps' scalar — all already in the backend's array type.
@@ -67,23 +71,26 @@ def sample_wavefront(
     o, d = geom.camera_rays(camera, pixel_ids, jx, jy, xp)
 
     if cfg.integrator == "pt":
-        return _path_trace(
+        rad, nrays = _path_trace(
             o, d, pixel_ids, sample_idx, albedo, emission, normals, eps,
             background, cfg, intersector, xp, scene_arrays.get("lights"),
         )
-    if cfg.integrator == "ao":
-        return _ambient_occlusion(
+    elif cfg.integrator == "ao":
+        rad, nrays = _ambient_occlusion(
             o, d, pixel_ids, sample_idx, albedo, normals, eps, background,
             cfg, intersector, xp,
         )
-    if cfg.integrator == "normal":
+    elif cfg.integrator == "normal":
         tmin = xp.zeros(n, xp.float32)
         tmax = xp.full(n, geom.INF, xp.float32)
         hits = intersector.intersect(o, d, tmin, tmax)
         _, nrm = _shade_prep(o, d, hits, normals, xp, eps)
         col = nrm * xp.float32(0.5) + xp.float32(0.5)
-        return xp.where(hits.valid[..., None], col, background)
-    raise ValueError(f"unknown integrator {cfg.integrator!r}")
+        rad = xp.where(hits.valid[..., None], col, background)
+        nrays = xp.float32(n)
+    else:
+        raise ValueError(f"unknown integrator {cfg.integrator!r}")
+    return (rad, nrays) if with_stats else rad
 
 
 def _sample_light_point(lights, u_pick, u1, u2, xp):
@@ -120,11 +127,15 @@ def _path_trace(
     tmax = xp.full(n, geom.INF, xp.float32)
     nee = cfg.nee and lights is not None
     inv_pi = xp.float32(1.0 / np.pi)
+    # actual trace activations (lanes with a nonzero window), NOT the static
+    # upper bound — dead lanes root out instantly and must not inflate Grays/s
+    nrays = xp.zeros((), xp.float32)
 
     for bounce in range(cfg.bounces + 1):
         # dead lanes get an empty trace window: packets of finished rays
         # root-out instantly in the traversal kernels
         win = xp.where(alive, tmax, xp.float32(0.0))
+        nrays = nrays + xp.sum(alive.astype(xp.float32))
         hits = intersector.intersect(o, d, tmin, win)
         hit = alive & hits.valid
         miss = alive & ~hits.valid
@@ -156,6 +167,7 @@ def _path_trace(
             cos_s = geom.dot(nrm, wi, xp)
             cos_l = -geom.dot(ny, wi, xp)
             front = hit & (cos_s > 0) & (cos_l > 0)
+            nrays = nrays + xp.sum(front.astype(xp.float32))
             occ = intersector.occluded(
                 p, wi,
                 xp.where(front, dist * xp.float32(1.0 - 1e-3), xp.float32(0.0)),
@@ -171,7 +183,7 @@ def _path_trace(
         alive = hit & (xp.max(throughput, axis=-1) > xp.float32(0.0))
         o = xp.where(hit[..., None], p, o)
         d = xp.where(hit[..., None], new_d, d)
-    return radiance
+    return radiance, nrays
 
 
 def _ambient_occlusion(
@@ -182,6 +194,9 @@ def _ambient_occlusion(
     tmin = xp.zeros(n, xp.float32)
     tmax = xp.full(n, geom.INF, xp.float32)
     hits = intersector.intersect(o, d, tmin, tmax)
+    nrays = xp.float32(n) + xp.float32(cfg.ao_samples) * xp.sum(
+        hits.valid.astype(xp.float32)
+    )
     p, nrm = _shade_prep(o, d, hits, normals, xp, eps)
     vis = xp.zeros(n, xp.float32)
     radius = xp.full(n, xp.float32(cfg.ao_radius), xp.float32)
@@ -200,7 +215,7 @@ def _ambient_occlusion(
         vis = vis + xp.where(occ, xp.float32(0.0), xp.float32(1.0))
     vis = vis * xp.float32(1.0 / max(cfg.ao_samples, 1))
     col = albedo[hits.prim] * vis[..., None]
-    return xp.where(hits.valid[..., None], col, background)
+    return xp.where(hits.valid[..., None], col, background), nrays
 
 
 def light_ids_static(scene):

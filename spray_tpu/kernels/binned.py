@@ -817,6 +817,18 @@ class BinnedIntersector:
         tmax = common.pad_to(tmax, npad, value=0.0)  # empty: never hits
         return o, d, tmin, tmax
 
+    def _run_nearest(self, o_, d_, tmin_, tmax_):
+        return _binned_nearest(
+            (self.tri9, self.cbox, self.sbox), o_, d_, tmin_, tmax_,
+            self.k, self.interpret,
+        )
+
+    def _run_anyhit(self, o_, d_, tmin_, tmax_):
+        return _binned_anyhit(
+            (self.tri9, self.cbox, self.sbox), o_, d_, tmin_, tmax_,
+            self.k, self.interpret,
+        )
+
     def intersect(self, o, d, tmin, tmax):
         n = o.shape[0]
         tmax_eff = self._clamp_exit(o, d, tmin, tmax)
@@ -824,10 +836,7 @@ class BinnedIntersector:
         perm = self._perm(o_, d_, tmin_, tmax_)
         if perm is not None:
             o_, d_, tmin_, tmax_ = o_[perm], d_[perm], tmin_[perm], tmax_[perm]
-        bt, bc = _binned_nearest(
-            (self.tri9, self.cbox, self.sbox), o_, d_, tmin_, tmax_,
-            self.k, self.interpret,
-        )
+        bt, bc = self._run_nearest(o_, d_, tmin_, tmax_)
         if perm is not None:
             bt = jnp.zeros_like(bt).at[perm].set(bt)
             bc = jnp.zeros_like(bc).at[perm].set(bc)
@@ -849,10 +858,7 @@ class BinnedIntersector:
         perm = self._perm(o_, d_, tmin_, tmax_)
         if perm is not None:
             o_, d_, tmin_, tmax_ = o_[perm], d_[perm], tmin_[perm], tmax_[perm]
-        occ = _binned_anyhit(
-            (self.tri9, self.cbox, self.sbox), o_, d_, tmin_, tmax_,
-            self.k, self.interpret,
-        )
+        occ = self._run_anyhit(o_, d_, tmin_, tmax_)
         if perm is not None:
             occ = jnp.zeros_like(occ).at[perm].set(occ)
         return occ[:n] != 0

@@ -22,18 +22,26 @@ from .oracle.brute import BruteIntersector
 def default_intersector(scene, prefer="auto"):
     """Best intersector for the current backend / scene size.
 
-    TPU: Pallas packet/cluster kernels (domain-split to fit VMEM).
+    TPU: routed multi-domain Pallas cluster kernels (domain-split to fit
+    VMEM).  Round 2 shipped `BinnedIntersector` as the TPU default off a
+    coherent-camera-ray microbenchmark; on the full path-traced frame
+    (incoherent bounce + NEE shadow rays) it was measured 3.1x SLOWER e2e
+    (3.86s vs 1.24s frame) with 18x the compile time (207s vs 11.6s) —
+    reverted here (VERDICT r2 next#1).  Binned stays available via
+    prefer="binned" for coherent primary-ray workloads.
     CPU: jnp BVH traversal (the Pallas interpreter is far slower), brute for
     tiny scenes.
     """
     ntris = int(np.asarray(scene.faces).shape[0])
     if prefer == "brute" or (prefer == "auto" and ntris <= 256):
         return BruteIntersector(scene, jnp)
-    if prefer == "pallas" or (prefer == "auto" and jax.default_backend() == "tpu"):
+    if prefer == "binned":
         from .kernels.binned import BinnedIntersector  # noqa: PLC0415
 
         return BinnedIntersector(scene)
-    if prefer == "multidomain":
+    if prefer in ("pallas", "multidomain") or (
+        prefer == "auto" and jax.default_backend() == "tpu"
+    ):
         from .kernels.multidomain import MultiDomainClusterIntersector  # noqa: PLC0415
 
         return MultiDomainClusterIntersector(scene)
@@ -50,15 +58,25 @@ def render(scene, camera, cfg: RenderConfig = RenderConfig(), intersector=None):
 
 @dataclasses.dataclass
 class Pipeline:
-    """A compiled frame step for benchmarking / training loops."""
+    """A compiled frame step for benchmarking / training loops.
+
+    rays_traced(out): actual trace activations of the last run (honest
+    Grays/s numerator), or None for stats-less pipelines.
+    """
 
     _fn: object
     _args: tuple
+    _stats_index: int = -1
 
     def run(self):
         out = self._fn(*self._args)
         jax.block_until_ready(out)
         return out
+
+    def rays_traced(self, out):
+        if self._stats_index < 0:
+            return None
+        return float(out[self._stats_index])
 
 
 def make_pipeline(scene, camera, cfg: RenderConfig, backward=False,
@@ -66,11 +84,12 @@ def make_pipeline(scene, camera, cfg: RenderConfig, backward=False,
     if intersector is None:
         intersector = default_intersector(scene)
     if not backward:
-        fn = make_render_fn(scene, camera, cfg, intersector)
-        return Pipeline(fn, (device_scene_arrays(scene),))
+        fn = make_render_fn(scene, camera, cfg, intersector, with_stats=True)
+        return Pipeline(fn, (device_scene_arrays(scene),), _stats_index=1)
 
     render_fn = make_diff_render_fn(
-        scene, camera, cfg, make_intersector=lambda s: intersector
+        scene, camera, cfg, make_intersector=lambda s: intersector,
+        with_stats=True,
     )
     w = jnp.asarray([0.4, 0.8, 1.3], jnp.float32)
 
@@ -78,13 +97,14 @@ def make_pipeline(scene, camera, cfg: RenderConfig, backward=False,
     @jax.jit
     def step(params, isect):
         def loss(p):
-            img = render_fn(p, isect)
-            return jnp.mean(img * w)
+            img, nrays = render_fn(p, isect)
+            return jnp.mean(img * w), nrays
 
-        return jax.value_and_grad(loss)(params)
+        (val, nrays), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        return val, grads, nrays
 
     params = {
         "vertices": jnp.asarray(scene.vertices),
         "albedo": jnp.asarray(scene.albedo),
     }
-    return Pipeline(step, (params, intersector))
+    return Pipeline(step, (params, intersector), _stats_index=2)
