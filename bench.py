@@ -2,7 +2,14 @@
 
 Metric (BASELINE.md): forward+backward throughput in Grays/s/chip on a
 1M-triangle multi-domain scene; north-star target 2.0 Grays/s/chip.
-vs_baseline = achieved / 2.0.
+vs_baseline = achieved / 2.0.  The numerator is ACTUAL trace activations
+(lanes with a live window per intersect/occluded call) counted inside the
+integrator — not a static upper bound (round 1 counted NEE shadow rays in a
+lightless scene; VERDICT r2 weak#2).
+
+--suite additionally measures the speculative epoch scheduler itself
+(BASELINE.md configs 3/4: 8-domain speculative vs baseline, 64-domain OOC)
+and writes BENCH_extra.json; stdout stays a single JSON line for the driver.
 
 Scales down gracefully (CPU / small machines) via --tris / --size flags, but
 the defaults match the BASELINE.json config-3 class (1M-tri wisp cloud).
@@ -21,6 +28,151 @@ import numpy as np
 TARGET_GRAYS = 2.0
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: bench re-runs (and the driver's run)
+    skip the multi-minute cold compile of the frame step."""
+    import jax
+
+    try:
+        cache = Path(__file__).parent / ".jax_cache"
+        cache.mkdir(exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never a requirement
+        print(f"# compile cache disabled: {e}", file=sys.stderr)
+
+
+def _timed(pipe, iters):
+    t0 = time.time()
+    out = pipe.run()
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = pipe.run()
+        times.append(time.time() - t0)
+    return min(times), compile_s, out
+
+
+def headline(args):
+    import jax
+
+    from spray_tpu.core.camera import make_camera
+    from spray_tpu.core.config import RenderConfig
+    from spray_tpu.io.scenes import wisp_cloud
+    from spray_tpu.render import default_intersector, make_pipeline
+
+    scene = wisp_cloud(
+        n_blobs=args.blobs, tris_per_blob=args.tris_per_blob, seed=3
+    )
+    camera = make_camera(
+        eye=(14.0, 10.0, 18.0), lookat=(0, 0, 0), up=(0, 1, 0),
+        fov_y_deg=45, width=args.size, height=args.size,
+    )
+    cfg = RenderConfig(
+        spp=args.spp, bounces=args.bounces, integrator="pt", seed=0
+    )
+    isect = default_intersector(scene, prefer=args.intersector)
+    pipe = make_pipeline(scene, camera, cfg, backward=args.backward,
+                         intersector=isect)
+    dt, compile_s, out = _timed(pipe, args.iters)
+    rays = int(pipe.rays_traced(out))
+    grays = rays / dt / 1e9
+    return {
+        "metric": "grays_per_sec_fwd_bwd" if args.backward else "grays_per_sec_fwd",
+        "value": round(grays, 6),
+        "unit": "Grays/s/chip",
+        "vs_baseline": round(grays / TARGET_GRAYS, 6),
+        "detail": {
+            "tris": int(scene.num_faces),
+            "size": args.size,
+            "spp": args.spp,
+            "bounces": args.bounces,
+            "rays_per_frame": rays,
+            "frame_s": round(dt, 4),
+            "compile_s": round(compile_s, 1),
+            "backend": jax.default_backend(),
+            "intersector": type(isect).__name__,
+        },
+    }
+
+
+def spec_suite(args):
+    """Configs 3/4: the speculative epoch scheduler measured AS a scheduler.
+
+    Smaller frame than the headline (the OOC epoch loop is host-driven), but
+    the full multi-domain machinery: queues, schedule, speculation, commit,
+    residency.  Reports Grays/s, speculation_efficiency (committed/traced:
+    THE metric of the core idea, SURVEY §5) and residency counters.
+    """
+    from spray_tpu.core.camera import make_camera
+    from spray_tpu.core.config import RenderConfig
+    from spray_tpu.integrators.device import render_device
+    from spray_tpu.io.scenes import wisp_cloud
+    from spray_tpu.sched.epochs import OOCIntersector
+
+    size = max(64, args.size // 4)
+    scene = wisp_cloud(n_blobs=8, tris_per_blob=args.tris_per_blob // 8,
+                       seed=3)
+    camera = make_camera(
+        eye=(14.0, 10.0, 18.0), lookat=(0, 0, 0), up=(0, 1, 0),
+        fov_y_deg=45, width=size, height=size,
+    )
+    cfg = RenderConfig(spp=1, bounces=2, integrator="pt", seed=0)
+
+    out = {}
+    # config 3: 8 domains all-resident; speculative vs strict front-to-back
+    for name, speculate in (("speculative", True), ("baseline", False)):
+        isect = OOCIntersector(
+            scene, n_domains=8, num_slots=8, speculate=speculate,
+            lookahead=False,
+        )
+        t0 = time.time()
+        render_device(scene, camera, cfg, intersector=isect)
+        warm = time.time() - t0
+        isect.stats = type(isect.stats)()  # reset after warmup
+        isect.residency.hits = isect.residency.loads = 0
+        t0 = time.time()
+        render_device(scene, camera, cfg, intersector=isect)
+        dt = time.time() - t0
+        s = isect.stats
+        out[f"config3_{name}"] = {
+            "frame_s": round(dt, 3),
+            "warm_s": round(warm, 3),
+            "epochs": s.epochs,
+            "ray_domain_activations": s.rays_traced,
+            "speculated": s.rays_speculated,
+            "committed": s.committed,
+            "speculation_efficiency": round(s.speculation_efficiency, 4),
+            "grays_per_sec": round(s.rays_traced / dt / 1e9, 6),
+        }
+    # config 4: 64 domains through 8 HBM slots (OOC), prefetch on/off
+    for name, look in (("prefetch", True), ("noprefetch", False)):
+        isect = OOCIntersector(
+            scene, n_domains=64, num_slots=8, speculate=True, lookahead=look,
+        )
+        t0 = time.time()
+        render_device(scene, camera, cfg, intersector=isect)
+        warm = time.time() - t0
+        isect.stats = type(isect.stats)()
+        isect.residency.hits = isect.residency.loads = 0
+        isect.residency.prefetches = 0
+        t0 = time.time()
+        render_device(scene, camera, cfg, intersector=isect)
+        dt = time.time() - t0
+        s = isect.stats
+        out[f"config4_{name}"] = {
+            "frame_s": round(dt, 3),
+            "warm_s": round(warm, 3),
+            "epochs": s.epochs,
+            "domain_loads": s.domain_loads,
+            "cache_hits": s.cache_hits,
+            "prefetches": s.prefetches,
+            "speculation_efficiency": round(s.speculation_efficiency, 4),
+        }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
@@ -31,65 +183,21 @@ def main():
     ap.add_argument("--backward", action="store_true", default=True)
     ap.add_argument("--no-backward", dest="backward", action="store_false")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--intersector", default="auto",
+                    help="auto|sweep|binned|multidomain|brute")
+    ap.add_argument("--suite", action="store_true",
+                    help="also run the scheduler suite -> BENCH_extra.json")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
-    from spray_tpu.core.camera import make_camera
-    from spray_tpu.core.config import RenderConfig
-    from spray_tpu.io.scenes import wisp_cloud
-    from spray_tpu.render import make_pipeline
-
-    scene = wisp_cloud(
-        n_blobs=args.blobs, tris_per_blob=args.tris_per_blob, seed=3
-    )
-    ntris = int(scene.num_faces)
-    camera = make_camera(
-        eye=(14.0, 10.0, 18.0), lookat=(0, 0, 0), up=(0, 1, 0),
-        fov_y_deg=45, width=args.size, height=args.size,
-    )
-    cfg = RenderConfig(
-        spp=args.spp, bounces=args.bounces, integrator="pt", seed=0
-    )
-    pipe = make_pipeline(scene, camera, cfg, backward=args.backward)
-
-    # warmup/compile
-    t0 = time.time()
-    out = pipe.run()
-    compile_s = time.time() - t0
-
-    times = []
-    for _ in range(args.iters):
-        t0 = time.time()
-        out = pipe.run()
-        times.append(time.time() - t0)
-    dt = min(times)
-    # ACTUAL trace activations (lanes with a live window per intersect /
-    # occluded call), counted inside the integrator — not a static upper
-    # bound (round 1 counted NEE shadow rays in a lightless scene: inflated).
-    rays = int(pipe.rays_traced(out))
-    grays = rays / dt / 1e9
-    print(
-        json.dumps(
-            {
-                "metric": "grays_per_sec_fwd_bwd" if args.backward else "grays_per_sec_fwd",
-                "value": round(grays, 6),
-                "unit": "Grays/s/chip",
-                "vs_baseline": round(grays / TARGET_GRAYS, 6),
-                "detail": {
-                    "tris": ntris,
-                    "size": args.size,
-                    "spp": args.spp,
-                    "bounces": args.bounces,
-                    "rays_per_frame": rays,
-                    "frame_s": round(dt, 4),
-                    "compile_s": round(compile_s, 1),
-                    "backend": jax.default_backend(),
-                },
-            }
+    _enable_compile_cache()
+    result = headline(args)
+    if args.suite:
+        extra = spec_suite(args)
+        (Path(__file__).parent / "BENCH_extra.json").write_text(
+            json.dumps(extra, indent=1)
         )
-    )
+        result["detail"]["suite"] = "BENCH_extra.json"
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

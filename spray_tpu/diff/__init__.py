@@ -106,9 +106,11 @@ def diff_scene_arrays(scene, params):
 
 
 def make_diff_render_fn(scene, camera, cfg, make_intersector=None,
-                        with_stats=False):
+                        with_stats=False, spp_batch=True):
     """Returns render(params) -> image, differentiable w.r.t. params
     (or (image, rays_traced) when with_stats — actual trace activations).
+    spp_batch: trace all spp samples as one wavefront (see
+    integrators.device.make_render_fn); image is bit-identical either way.
 
     params: dict with any of 'vertices' (V,3), 'albedo' (F,3), 'emission' (F,3).
     NOTE: when 'vertices' is present the discrete intersector still uses the
@@ -134,21 +136,31 @@ def make_diff_render_fn(scene, camera, cfg, make_intersector=None,
         arrays, vertices, faces = diff_scene_arrays(scene, params)
         intersector = DetachedIntersector(isect, vertices, faces)
 
-        def body(carry, s):
-            acc, nr = carry
-            rad, n = wavefront.sample_wavefront(
-                arrays, camera, cfg, intersector, jnp, s, pixel_ids,
+        if spp_batch:
+            pix = jnp.repeat(pixel_ids, cfg.spp)
+            smp = jnp.tile(jnp.arange(cfg.spp, dtype=jnp.uint32), npix)
+            rad, nrays = wavefront.sample_wavefront(
+                arrays, camera, cfg, intersector, jnp, smp, pix,
                 with_stats=True,
             )
-            return (acc + rad, nr + n), None
+            acc = jnp.zeros((npix, 3), jnp.float32).at[pix].add(rad)
+        else:
+            def body(carry, s):
+                a, nr = carry
+                rad, n = wavefront.sample_wavefront(
+                    arrays, camera, cfg, intersector, jnp, s, pixel_ids,
+                    with_stats=True,
+                )
+                return (a + rad, nr + n), None
 
-        (acc, nrays), _ = jax.lax.scan(
-            body,
-            (jnp.zeros((npix, 3), jnp.float32), jnp.zeros((), jnp.float32)),
-            jnp.arange(cfg.spp, dtype=jnp.uint32),
-        )
-        img = jnp.zeros((npix, 3), jnp.float32).at[pixel_ids].set(acc)
-        img = (img / cfg.spp).reshape(camera.height, camera.width, 3)
+            (acc, nrays), _ = jax.lax.scan(
+                body,
+                (jnp.zeros((npix, 3), jnp.float32),
+                 jnp.zeros((), jnp.float32)),
+                jnp.arange(cfg.spp, dtype=jnp.uint32),
+            )
+            acc = jnp.zeros((npix, 3), jnp.float32).at[pixel_ids].set(acc)
+        img = (acc / cfg.spp).reshape(camera.height, camera.width, 3)
         return (img, nrays) if with_stats else img
 
     render.base_intersector = base_intersector

@@ -25,9 +25,16 @@ def device_scene_arrays(scene):
 
 
 def make_render_fn(scene, camera, cfg, intersector=None, donate=False,
-                   with_stats=False):
+                   with_stats=False, spp_batch=True):
     """Build a jit'd full-frame render fn: (scene_arrays) -> (H, W, 3) image
     (or (image, rays_traced) when with_stats — actual trace activations).
+
+    spp_batch=True traces ALL spp samples as ONE wavefront (samples of the
+    same pixel adjacent): coherence-sorting intersectors then pack ~spp
+    same-pixel rays per packet, shrinking packet frustums and per-call fixed
+    costs (sorts, culls) by ~spp.  The counter RNG keys on (pixel, sample),
+    so the image is bit-identical either way.  spp_batch=False keeps the
+    lax.scan-over-samples form (lower peak memory at very high spp).
 
     scene_arrays is passed as an argument (not closed over) so material /
     geometry gradients can flow through it (spray_tpu.diff builds on this).
@@ -61,9 +68,21 @@ def make_render_fn(scene, camera, cfg, intersector=None, donate=False,
         img = img * jnp.float32(1.0 / spp)
         return img.reshape(camera.height, camera.width, 3), nrays
 
+    @functools.partial(jax.jit, static_argnames=("spp",))
+    def render_batched(scene_arrays, isect, spp):
+        pix = jnp.repeat(pixel_ids, spp)
+        smp = jnp.tile(jnp.arange(spp, dtype=jnp.uint32), npix)
+        rad, nrays = wavefront.sample_wavefront(
+            scene_arrays, camera, cfg, isect, jnp, smp, pix, with_stats=True,
+        )
+        img = jnp.zeros((npix, 3), jnp.float32).at[pix].add(rad)
+        img = img * jnp.float32(1.0 / spp)
+        return img.reshape(camera.height, camera.width, 3), nrays
+
+    fn = render_batched if spp_batch else render
     if with_stats:
-        return lambda scene_arrays: render(scene_arrays, intersector, cfg.spp)
-    return lambda scene_arrays: render(scene_arrays, intersector, cfg.spp)[0]
+        return lambda scene_arrays: fn(scene_arrays, intersector, cfg.spp)
+    return lambda scene_arrays: fn(scene_arrays, intersector, cfg.spp)[0]
 
 
 def render_device(scene, camera, cfg, intersector=None):

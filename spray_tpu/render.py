@@ -39,6 +39,10 @@ def default_intersector(scene, prefer="auto"):
         from .kernels.binned import BinnedIntersector  # noqa: PLC0415
 
         return BinnedIntersector(scene)
+    if prefer == "sweep":
+        from .kernels.sweep import SweepIntersector  # noqa: PLC0415
+
+        return SweepIntersector(scene)
     if prefer in ("pallas", "multidomain") or (
         prefer == "auto" and jax.default_backend() == "tpu"
     ):

@@ -31,6 +31,7 @@ class ResidencyManager:
         self._lru = []  # domain ids, least-recent first
         self.loads = 0  # stats: domain uploads (reference's 'domains loaded')
         self.hits = 0
+        self.prefetches = 0  # uploads issued ahead of schedule (overlapped)
 
     def _host_domain(self, d):
         h = self.host
@@ -72,6 +73,43 @@ class ResidencyManager:
             self._lru.append(d)
             out.append(self._resident[d])
         return out
+
+    def prefetch(self, domain_ids, pinned=()):
+        """Opportunistically upload `domain_ids` into free/evictable slots
+        WITHOUT evicting anything in `pinned` (the currently-scheduled set).
+
+        device_put is async: uploads issued here overlap the CURRENT epoch's
+        jitted trace, so next epoch's `acquire` finds them resident (the
+        reference's load/trace overlap, SURVEY.md §7.1 'Residency' —
+        double-buffered against the trace of the current epoch).  Returns how
+        many uploads were started.
+        """
+        pinned = set(int(p) for p in pinned)
+        started = 0
+        for d in domain_ids:
+            d = int(d)
+            if d in self._resident:
+                continue
+            if len(self._resident) >= self.num_slots:
+                evictable = [c for c in self._lru if c not in pinned]
+                if not evictable:
+                    break  # every slot pinned: no room to prefetch
+                self._lru.remove(evictable[0])
+                del self._resident[evictable[0]]
+            self._resident[d] = jax.device_put(
+                self._host_domain(d), self.device
+            )
+            self._lru.insert(0, d)  # least-recent: evictable if mispredicted
+            self.loads += 1
+            self.prefetches += 1
+            started += 1
+        return started
+
+    def peek(self, domain_id):
+        """Device pytree of an already-resident domain (no upload, no LRU
+        touch) — used to hand unscheduled-but-resident domains to the
+        speculative trace for free extra work."""
+        return self._resident[int(domain_id)]
 
     @property
     def resident_ids(self):

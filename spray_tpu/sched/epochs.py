@@ -69,6 +69,7 @@ class EpochStats:
     committed: int = 0
     domain_loads: int = 0
     cache_hits: int = 0
+    prefetches: int = 0  # lookahead uploads overlapped with tracing
 
     @property
     def speculation_efficiency(self):
@@ -196,7 +197,8 @@ class OOCIntersector:
     host_driven = True
 
     def __init__(self, scene=None, n_domains=64, num_slots=8, dset=None,
-                 leaf_size=16, branching=8, speculate=True, max_epochs=256):
+                 leaf_size=16, branching=8, speculate=True, max_epochs=256,
+                 lookahead=True):
         if dset is None:
             from ..domains.partition import partition_scene  # noqa: PLC0415
 
@@ -210,23 +212,50 @@ class OOCIntersector:
         self.speculate = speculate
         self.max_epochs = max_epochs
         self.leaf_size = dset.leaf_size
+        # Prefetch lookahead (SURVEY §7.1 'Residency'): reserve a small slice
+        # of the slots for uploading PREDICTED next-epoch domains while the
+        # jitted trace runs (device_put is async).  The reserve costs nothing:
+        # unscheduled-but-resident domains (incl. last epoch's prefetches) are
+        # handed to the speculative trace anyway — the reference's 'trace
+        # against all resident domains' — and the K-wide epoch_step pays for K
+        # slots whether they carry real domains or padding.
+        self.lookahead = lookahead and num_slots >= 2
         self.stats = EpochStats()
 
     def _run_epochs(self, state):
         k = self.residency.num_slots
+        reserve = max(1, k // 4) if self.lookahead else 0
+        k_sched = max(1, k - reserve)
         for _ in range(self.max_epochs):
             counts = np.asarray(queue_counts(state))
-            sched = schedule_top_k(counts, k)
+            sched = schedule_top_k(counts, k_sched)
             if not sched:
                 break
-            slots = self.residency.acquire(sched)
+            slots = list(self.residency.acquire(sched))
+            ids = list(sched)
+            if self.speculate:
+                # free speculative work: every resident domain traces its
+                # queued rays this epoch, scheduled or not (SURVEY §3.2)
+                for d in self.residency.resident_ids:
+                    if len(ids) >= k:
+                        break
+                    if d not in ids and counts[d] > 0:
+                        ids.append(int(d))
+                        slots.append(self.residency.peek(d))
             slot_ids = jnp.asarray(
-                sched + [-1] * (k - len(sched)), dtype=jnp.int32
+                ids + [-1] * (k - len(ids)), dtype=jnp.int32
             )
             # pad slots tuple to K with repeats of slot 0 (masked by id -1)
             slots = tuple(slots) + tuple(
                 slots[0] for _ in range(k - len(slots))
             )
+            if self.lookahead:
+                # predict epoch k+1 = next-biggest not-yet-resident queues;
+                # start their uploads now so they overlap this epoch's trace
+                order = np.argsort(-counts, kind="stable")
+                nxt = [int(d) for d in order
+                       if counts[d] > 0 and int(d) not in ids]
+                self.residency.prefetch(nxt[:reserve], pinned=sched)
             state, traced, spec = epoch_step(
                 state, slots, slot_ids, self.speculate, self.leaf_size
             )
@@ -237,6 +266,7 @@ class OOCIntersector:
             raise RuntimeError("epoch loop failed to converge (max_epochs)")
         self.stats.domain_loads = self.residency.loads
         self.stats.cache_hits = self.residency.hits
+        self.stats.prefetches = self.residency.prefetches
         return state
 
     def intersect(self, o, d, tmin, tmax):

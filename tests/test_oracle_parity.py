@@ -62,6 +62,25 @@ def test_pt_parity_bvh_intersector():
     np.testing.assert_allclose(dev, ref, atol=2e-3, rtol=1e-3)
 
 
+def test_spp_batched_equals_scanned():
+    """One batched wavefront (all spp at once) == lax.scan over samples,
+    bit-identical: the counter RNG keys on (pixel, sample), so wavefront
+    shape cannot change the image (SURVEY.md §7.1 RNG)."""
+    import jax.numpy as jnp
+
+    from spray_tpu.integrators.device import (
+        device_scene_arrays, make_render_fn,
+    )
+
+    scene = cornell_box()
+    cfg = RenderConfig(width=48, height=48, spp=3, bounces=2,
+                       integrator="pt", seed=7)
+    arrays = device_scene_arrays(scene)
+    a = np.asarray(make_render_fn(scene, CAM, cfg, spp_batch=True)(arrays))
+    b = np.asarray(make_render_fn(scene, CAM, cfg, spp_batch=False)(arrays))
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+
 def test_oracle_deterministic():
     cfg = RenderConfig(width=16, height=16, spp=1, bounces=2, integrator="pt")
     scene = cornell_box()
