@@ -43,13 +43,17 @@ def _enable_compile_cache():
 
 
 def _timed(pipe, iters):
+    """Time frames, forcing a HOST transfer each iteration: under the axon
+    tunnel jax.block_until_ready can return without waiting for the device
+    (measured: 265 ms of real work reported as 0.1 ms), so only a device->
+    host readback is a trustworthy fence."""
     t0 = time.time()
-    out = pipe.run()
+    out = pipe.run_fenced()
     compile_s = time.time() - t0
     times = []
     for _ in range(iters):
         t0 = time.time()
-        out = pipe.run()
+        out = pipe.run_fenced()
         times.append(time.time() - t0)
     return min(times), compile_s, out
 

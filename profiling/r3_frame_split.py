@@ -26,13 +26,17 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=3):
+    """block_until_ready is NOT a reliable fence under the axon tunnel
+    (returns early on re-dispatch of an identical program); a device->host
+    readback of one output leaf is."""
     out = fn(*args)
     jax.block_until_ready(out)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        leaf = jax.tree.leaves(out)[0]
+        _ = float(jnp.sum(leaf.astype(jnp.float32)))
         ts.append(time.perf_counter() - t0)
     return min(ts), out
 

@@ -66,6 +66,31 @@ def _packet_domain_order(aug, dom_aabb):
     return order, entry_sorted
 
 
+def _live_partition(win):
+    """Stable partition: rays with a live window first, dead lanes last.
+
+    Bounce/NEE wavefronts are mostly dead lanes (measured 94% for shadow
+    rays, 70% at bounce 2 on the bench scene); interleaved with live rays
+    they ride along in live packets for free — cost scales with PACKET
+    count, not live-lane count.  Compacted, the dead tail forms packets
+    that root out at the grid-step floor.  cumsum-based (no sort: a 262K
+    argsort costs ~25 ms on this chip, the whole point is to save that
+    order of time).  Returns (perm, inv): trace o[perm] etc, then
+    result[inv] restores input order.  Results are exact — the kernels are
+    order-independent per ray.
+    """
+    live = win > 0
+    n = win.shape[0]
+    nlive = jnp.sum(live.astype(jnp.int32))
+    pos_live = jnp.cumsum(live.astype(jnp.int32)) - 1
+    pos_dead = nlive + jnp.cumsum((~live).astype(jnp.int32)) - 1
+    inv = jnp.where(live, pos_live, pos_dead)  # ray i -> compacted slot
+    perm = jnp.zeros(n, jnp.int32).at[inv].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return perm, inv
+
+
 def _pad0(a, n):
     if a.shape[0] >= n:
         return a
@@ -307,18 +332,20 @@ class MultiDomainClusterIntersector:
 
     def intersect(self, o, d, tmin, tmax):
         n = o.shape[0]
-        aug, _ = _rays_to_aug(o, d, tmin, tmax)
+        perm, inv = _live_partition(tmax)
+        o_, d_, tmin_, tmax_ = o[perm], d[perm], tmin[perm], tmax[perm]
+        aug, _ = _rays_to_aug(o_, d_, tmin_, tmax_)
         if self.routed:
             bt, bp = _routed_nearest(
                 self.bounds, self.meta, self.w, self.tri_ids,
-                self.dom_aabb, aug, tmax, self.interpret,
+                self.dom_aabb, aug, tmax_, self.interpret,
             )
         else:
             bt, bp = _scan_nearest(
                 self.bounds, self.meta, self.w, self.tri_ids, aug, n,
-                tmax, self.interpret,
+                tmax_, self.interpret,
             )
-        bt, bp = bt[:n], bp[:n]
+        bt, bp = bt[:n][inv], bp[:n][inv]
         t, u, v, valid = attrs_for_prims(
             self.v0, self.e1, self.e2, bp, o, d, bt, tmax
         )
@@ -330,7 +357,8 @@ class MultiDomainClusterIntersector:
     def occluded(self, o, d, tmax):
         n = o.shape[0]
         tmin = jnp.zeros_like(tmax)
-        aug, _ = _rays_to_aug(o, d, tmin, tmax)
+        perm, inv = _live_partition(tmax)
+        aug, _ = _rays_to_aug(o[perm], d[perm], tmin, tmax[perm])
         if self.routed:
             occ = _routed_anyhit(
                 self.bounds, self.meta, self.w, self.dom_aabb, aug,
@@ -340,4 +368,4 @@ class MultiDomainClusterIntersector:
             occ = _scan_anyhit(
                 self.bounds, self.meta, self.w, aug, self.interpret
             )
-        return occ[:n] != 0
+        return occ[:n][inv] != 0

@@ -58,12 +58,20 @@ _CTZ_TABLE = np.array(
 )
 
 
-def _slab_all_children(bounds_ref, nid, ox, oy, oz, idx, idy, idz, tlo, thi):
+def _slab_all_children(bounds_ref, nid, valid_byte, ox, oy, oz, idx, idy,
+                       idz, tlo, thi):
     """All 8 child boxes vs the packet in one broadcast: (8,1) x (1,P) ->
-    (8,P) — one vectorized slab test instead of 8 scalar-extracted ones.
+    (8,P), then an ORDERED push word in ONE vector->scalar extraction.
 
-    Returns ONE scalar bitmask (bit c = any ray hits child c): a single
-    vector->scalar extraction per node instead of eight.
+    Children are ranked by packet entry distance (min over hit lanes) so the
+    traversal visits them front-to-back: the nearest leaf collapses best-t
+    early and the per-lane best-t window then prunes the far siblings at
+    their own slab tests (the in-kernel analog of the reference's
+    front-to-back domain walk, SURVEY.md §3.3).  Returns a packed word
+        (count << 24) | perm     perm = child indices, 3 bits each,
+                                 visit order from the LSB
+    count==0 means no child hit.  One jnp.sum -> scalar sync per node, the
+    same cost as the old unordered bitmask.
     """
     b = bounds_ref[0, nid]  # (8, 6)
     lox, loy, loz = b[:, 0:1], b[:, 1:2], b[:, 2:3]
@@ -83,25 +91,87 @@ def _slab_all_children(bounds_ref, nid, ox, oy, oz, idx, idy, idz, tlo, thi):
         jnp.minimum(jnp.maximum(t0z, t1z), thi),
     )
     hit = tmin_ <= tmax_  # (8, P)
-    anyv = jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)  # (8, 1)
-    weights = (jnp.int32(1) << jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0))
-    return jnp.sum(anyv * weights)  # () bitmask
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    # child validity (padded domains have ZERO bounds that rays can hit)
+    vbit = (jax.lax.shift_right_logical(valid_byte, iota8) & 1) != 0
+    entry = jnp.min(jnp.where(hit, tmin_, INF), axis=1, keepdims=True)
+    live = vbit & jnp.isfinite(entry)  # (8, 1)
+    # rank among live children by (entry, index); dead entries are +inf and
+    # never precede live ones
+    e_masked = jnp.where(live, entry, INF)
+    e_row = e_masked.reshape(1, 8)
+    i_row = iota8.reshape(1, 8)
+    precedes = (e_row < e_masked) | ((e_row == e_masked) & (i_row < iota8))
+    # int32 mask arithmetic: a bool select here lowers to an i8->i1 trunc
+    # Mosaic rejects ('Unsupported target bitwidth for truncation')
+    rank = jnp.sum(
+        precedes.astype(jnp.int32) * live.reshape(1, 8).astype(jnp.int32),
+        axis=1, keepdims=True,
+    )  # (8, 1)
+    word = jnp.where(
+        live,
+        jax.lax.shift_left(iota8, 3 * rank) + jnp.int32(1 << 24),
+        0,
+    )
+    return jnp.sum(word)  # () = (count << 24) | perm
 
 
-def _cluster_intersect(w_ref, cid, od8, tlo, thi, occl):
+def _bf16_exact(x):
+    """Round x toward zero to a bf16-EXACT f32 value (mantissa masked to 8
+    bits).  Pure int bit ops: Mosaic rejects f32->bf16 truncf on 4-sublane
+    tiles ('Unsupported target bitwidth for truncation'), and we don't need
+    the dtype — only values the MXU's implicit DEFAULT-precision bf16
+    conversion preserves losslessly."""
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        i & jnp.int32(-65536), jnp.float32  # 0xFFFF0000
+    )
+
+
+def _split3(x):
+    """3-way bf16-exact split: x ≈ h + m + l captures ~24 mantissa bits.
+    All three parts are f32 arrays whose values fit bf16 exactly."""
+    h = _bf16_exact(x)
+    r = x - h
+    m = _bf16_exact(r)
+    l = _bf16_exact(r - m)
+    return h, m, l
+
+
+def _stack_w32(w):
+    """(4, 3C) f32 -> (32, 3C) f32 (bf16-exact values): split-term K-stack."""
+    h, m, l = _split3(w)
+    return jnp.concatenate([h, h, m, h, l, m, m, l], axis=0)
+
+
+def _stack_od32(od):
+    """(4, N) f32 -> (32, N) f32, paired with _stack_w32's term order."""
+    h, m, l = _split3(od)
+    return jnp.concatenate([h, m, h, l, h, m, l, m], axis=0)
+
+
+def _cluster_intersect(w_ref, cid, od32, tlo, thi, occl):
     """MXU cluster test, rays-on-lanes.  Returns masked-t `tm` (C, 512) with
     INF on misses (nearest) or the raw ok mask (occlusion).
 
-    od8: (4, 2*PACKET) = [o_aug | d_aug] — ONE fused matmul halves the MXU
-    dispatch latency (small-K matmuls are latency-bound).  HIGHEST precision:
-    Mosaic supports only DEFAULT (1-pass bf16, too lossy for geometry —
-    verified 1.3% wrong-hit rate) and HIGHEST (full f32).
+    od32: (32, 2*PACKET) f32 (bf16-exact) = K-STACKED split of
+    [o_aug | d_aug].  The f32
+    Woop product W^T OD needs more than bf16 (1-pass DEFAULT: measured 1.3%
+    wrong hits) but HIGHEST costs 6 sequential MXU passes, each materializing
+    the (3C, 2P) f32 intermediate — measured 3.4us/cluster, the single
+    hottest cost in the whole tracer.  Instead both operands are 3-way bf16
+    split (h+m+l ≈ 24 mantissa bits) and the 8 significant cross terms
+    (hh,hm,mh,hl,lh,mm,ml,lm) are laid out ALONG K: one K=32 DEFAULT pass
+    (whose implicit f32->bf16 operand conversion is LOSSLESS on these
+    values) with f32 accumulate = one intermediate write.  Measured
+    984ns/cluster, max rel err ~1e-7 (~f32 eps) vs HIGHEST —
+    profiling/r3_split_mm.py.
     """
-    wmat = w_ref[0, cid]
-    dn = (((0,), (0,)), ((), ()))  # contract the 4-dim of both
+    wmat = _stack_w32(w_ref[0, cid])
+    dn = (((0,), (0,)), ((), ()))  # contract the K-dim of both
     odp = jax.lax.dot_general(
-        wmat, od8, dn, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        wmat, od32, dn, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )  # (3C, 2*PACKET)
     op = odp[:, 0:PACKET]
     dp = odp[:, PACKET : 2 * PACKET]
@@ -125,7 +195,9 @@ def _cluster_intersect(w_ref, cid, od8, tlo, thi, occl):
 def _ray_rows(rays_ref):
     r = rays_ref[0]  # (6, 2*PACKET): rows [ox|dx],[oy|dy],[oz|dz],[1|0],
     #                                      [tmin|.],[tmax|.]
-    od8 = r[0:4]  # (4, 2*PACKET) fused [o_aug | d_aug] for the leaf matmul
+    # K-stacked bf16 split of [o_aug | d_aug], built ONCE per packet program
+    # and reused by every leaf visit (see _cluster_intersect)
+    od8 = _stack_od32(r[0:4])  # (32, 2*PACKET) bf16
     p = PACKET
     ox, oy, oz = r[0:1, 0:p], r[1:2, 0:p], r[2:3, 0:p]
     dx, dy, dz = r[0:1, p:], r[1:2, p:], r[2:3, p:]
@@ -138,54 +210,59 @@ def _ray_rows(rays_ref):
     return od8, ox, oy, oz, idx, idy, idz, tmin, tmax
 
 
-def _pop_child(ctz_ref, stack_ref, sp):
-    """Peel one pending child off the top bitmask-stack entry.
+def _pop_child(nid_ref, pc_ref, sp):
+    """Peel the NEAREST pending child off the top ordered-stack entry.
 
+    Entries are (nid, (count << 24) | perm) pairs; perm holds the child
+    indices 3 bits each in front-to-back visit order from the LSB.
     Returns (sp', nid, c): sp' already reflects whether the entry emptied.
     """
-    e = stack_ref[sp - 1]
-    mask = e & 255
-    nid = jax.lax.shift_right_logical(e, 8)
-    c = ctz_ref[mask]
-    rest = mask & (mask - 1)
-    stack_ref[sp - 1] = jax.lax.shift_left(nid, 8) | rest
-    sp = sp - (rest == 0).astype(jnp.int32)
+    pc = pc_ref[sp - 1]
+    nid = nid_ref[sp - 1]
+    c = pc & 7
+    cnt = jax.lax.shift_right_logical(pc, 24)
+    rest = jax.lax.shift_right_logical(pc & jnp.int32(0x00FFFFFF), 3)
+    pc_ref[sp - 1] = rest | jax.lax.shift_left(cnt - 1, 24)
+    sp = sp - (cnt == 1).astype(jnp.int32)
     return sp, nid, c
 
 
-def _nearest_kernel(dom_ref, ctz_ref, bounds_ref, meta_ref, valid_ref, w_ref,
-                    rays_ref, out_t, out_code, stack_ref):
+def _nearest_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
+                    rays_ref, out_t, out_code, nid_ref, pc_ref):
     # dom_ref: (NB,) scalar-prefetch bucket->domain map driving the BlockSpec
     # index maps (which domain's BVH is DMA'd for this program).
-    # ctz_ref: (256,) scalar-prefetch count-trailing-zeros table.
     # meta_ref: (1, 1, Nn*8) flat; valid_ref: (1, 1, Nn) — see _domain_specs.
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
     row = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, PACKET), 0)
 
-    mask0 = _slab_all_children(
-        bounds_ref, 0, ox, oy, oz, idx, idy, idz, tmin, tmax
-    ) & valid_ref[0, 0, 0]
-    stack_ref[0] = mask0  # (0 << 8) | mask0
-    sp0 = (mask0 != 0).astype(jnp.int32)
+    w0 = _slab_all_children(
+        bounds_ref, 0, valid_ref[0, 0, 0], ox, oy, oz, idx, idy, idz,
+        tmin, tmax,
+    )
+    nid_ref[0] = 0
+    pc_ref[0] = w0
+    sp0 = (w0 != 0).astype(jnp.int32)
 
     def cond(carry):
         return carry[0] > 0
 
     def body(carry):
         sp, best_t, best_code = carry
-        sp, nid, c = _pop_child(ctz_ref, stack_ref, sp)
+        sp, nid, c = _pop_child(nid_ref, pc_ref, sp)
         kind = meta_ref[0, 0, nid * 8 + c]
 
         def internal_case(ops):
             sp, best_t, best_code = ops
             window_hi = jnp.minimum(tmax, best_t)
-            m = _slab_all_children(
-                bounds_ref, kind, ox, oy, oz, idx, idy, idz, tmin, window_hi
-            ) & valid_ref[0, 0, kind]
-            @pl.when(m != 0)
+            w = _slab_all_children(
+                bounds_ref, kind, valid_ref[0, 0, kind], ox, oy, oz,
+                idx, idy, idz, tmin, window_hi,
+            )
+            @pl.when(w != 0)
             def _():
-                stack_ref[sp] = jax.lax.shift_left(kind, 8) | m
-            return (sp + (m != 0).astype(jnp.int32), best_t, best_code)
+                nid_ref[sp] = kind
+                pc_ref[sp] = w
+            return (sp + (w != 0).astype(jnp.int32), best_t, best_code)
 
         def leaf_case(ops):
             sp, best_t, best_code = ops
@@ -220,15 +297,17 @@ def _nearest_kernel(dom_ref, ctz_ref, bounds_ref, meta_ref, valid_ref, w_ref,
     out_code[0] = best_code
 
 
-def _anyhit_kernel(dom_ref, ctz_ref, bounds_ref, meta_ref, valid_ref, w_ref,
-                   rays_ref, out_occ, stack_ref):
+def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
+                   rays_ref, out_occ, nid_ref, pc_ref):
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
 
-    mask0 = _slab_all_children(
-        bounds_ref, 0, ox, oy, oz, idx, idy, idz, tmin, tmax
-    ) & valid_ref[0, 0, 0]
-    stack_ref[0] = mask0
-    sp0 = (mask0 != 0).astype(jnp.int32)
+    w0 = _slab_all_children(
+        bounds_ref, 0, valid_ref[0, 0, 0], ox, oy, oz, idx, idy, idz,
+        tmin, tmax,
+    )
+    nid_ref[0] = 0
+    pc_ref[0] = w0
+    sp0 = (w0 != 0).astype(jnp.int32)
 
     def cond(carry):
         sp, occ = carry
@@ -236,19 +315,21 @@ def _anyhit_kernel(dom_ref, ctz_ref, bounds_ref, meta_ref, valid_ref, w_ref,
 
     def body(carry):
         sp, occ = carry  # occ: (1, PACKET) int32
-        sp, nid, c = _pop_child(ctz_ref, stack_ref, sp)
+        sp, nid, c = _pop_child(nid_ref, pc_ref, sp)
         kind = meta_ref[0, 0, nid * 8 + c]
 
         def internal_case(ops):
             sp, occ = ops
             window_hi = jnp.where(occ != 0, F32(0.0), tmax)
-            m = _slab_all_children(
-                bounds_ref, kind, ox, oy, oz, idx, idy, idz, tmin, window_hi
-            ) & valid_ref[0, 0, kind]
-            @pl.when(m != 0)
+            w = _slab_all_children(
+                bounds_ref, kind, valid_ref[0, 0, kind], ox, oy, oz,
+                idx, idy, idz, tmin, window_hi,
+            )
+            @pl.when(w != 0)
             def _():
-                stack_ref[sp] = jax.lax.shift_left(kind, 8) | m
-            return (sp + (m != 0).astype(jnp.int32), occ)
+                nid_ref[sp] = kind
+                pc_ref[sp] = w
+            return (sp + (w != 0).astype(jnp.int32), occ)
 
         def leaf_case(ops):
             sp, occ = ops
@@ -315,11 +396,11 @@ def _domain_specs(bounds, meta, valid_cols, w):
     scalar-prefetched bucket->domain map (MoE-router style).  Consecutive
     buckets with the same domain re-use the resident block (no re-DMA), so a
     domain is uploaded once per contiguous run."""
-    dsel = lambda b, dom_ref, ctz_ref: jnp.maximum(dom_ref[b], 0)
+    dsel = lambda b, dom_ref: jnp.maximum(dom_ref[b], 0)
     return [
         pl.BlockSpec(
             (1,) + bounds.shape[1:],
-            lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0, 0),
+            lambda b, dref: (dsel(b, dref), 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         # meta/valid are FLAT (D, 1, Nn*8) / (D, 1, Nn): SMEM windows are
@@ -329,23 +410,31 @@ def _domain_specs(bounds, meta, valid_cols, w):
         # "last two block dims equal array dims or divisible" rule.
         pl.BlockSpec(
             (1, 1, meta.shape[2]),
-            lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0),
+            lambda b, dref: (dsel(b, dref), 0, 0),
             memory_space=pltpu.SMEM,  # meta: scalar reads
         ),
         pl.BlockSpec(
             (1, 1, valid_cols),
-            lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0),
+            lambda b, dref: (dsel(b, dref), 0, 0),
             memory_space=pltpu.SMEM,  # valid bytes: scalar reads
         ),
         pl.BlockSpec(
             (1,) + w.shape[1:],
-            lambda b, dref, ctz: (dsel(b, dref, ctz), 0, 0, 0),
+            lambda b, dref: (dsel(b, dref), 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 6, 2 * PACKET), lambda b, dref, ctz: (b, 0, 0),
+            (1, 6, 2 * PACKET), lambda b, dref: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+    ]
+
+
+def _stack_scratch():
+    """Ordered traversal stack: (nid, packed perm|count) SMEM word pairs."""
+    return [
+        pltpu.SMEM((MAX_STACK,), jnp.int32),
+        pltpu.SMEM((MAX_STACK,), jnp.int32),
     ]
 
 
@@ -357,26 +446,25 @@ def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     p = rays_aug.shape[0]
     valid = _valid_bytes(meta)
     meta_flat = meta.reshape(meta.shape[0], 1, -1)
-    ctz = jnp.asarray(_CTZ_TABLE)
     out_spec = pl.BlockSpec(
-        (1, 1, PACKET), lambda b, dref, ctzr: (b, 0, 0),
+        (1, 1, PACKET), lambda b, dref: (b, 0, 0),
         memory_space=pltpu.VMEM,
     )
     oshape = jax.ShapeDtypeStruct((p, 1, PACKET), jnp.float32)
     oishape = jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(p,),
         in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w),
         out_specs=[out_spec] * 2,
-        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        scratch_shapes=_stack_scratch(),
     )
     return pl.pallas_call(
         _nearest_kernel,
         grid_spec=grid_spec,
         out_shape=[oshape, oishape],
         interpret=interpret,
-    )(bucket_dom, ctz, bounds, meta_flat, valid, w, rays_aug)
+    )(bucket_dom, bounds, meta_flat, valid, w, rays_aug)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -384,24 +472,23 @@ def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     p = rays_aug.shape[0]
     valid = _valid_bytes(meta)
     meta_flat = meta.reshape(meta.shape[0], 1, -1)
-    ctz = jnp.asarray(_CTZ_TABLE)
     out_spec = pl.BlockSpec(
-        (1, 1, PACKET), lambda b, dref, ctzr: (b, 0, 0),
+        (1, 1, PACKET), lambda b, dref: (b, 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(p,),
         in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w),
         out_specs=out_spec,
-        scratch_shapes=[pltpu.SMEM((MAX_STACK,), jnp.int32)],
+        scratch_shapes=_stack_scratch(),
     )
     return pl.pallas_call(
         _anyhit_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32),
         interpret=interpret,
-    )(bucket_dom, ctz, bounds, meta_flat, valid, w, rays_aug)
+    )(bucket_dom, bounds, meta_flat, valid, w, rays_aug)
 
 
 def tri_soa_from_scene(scene):

@@ -77,6 +77,15 @@ class Pipeline:
         jax.block_until_ready(out)
         return out
 
+    def run_fenced(self):
+        """Run + force completion via a device->host readback of one output
+        leaf.  jax.block_until_ready is not a reliable fence under the axon
+        TPU tunnel (returns early on re-dispatch of an identical program);
+        materializing any output of the single underlying executable is."""
+        out = self._fn(*self._args)
+        np.asarray(jax.tree.leaves(out)[-1])
+        return out
+
     def rays_traced(self, out):
         if self._stats_index < 0:
             return None

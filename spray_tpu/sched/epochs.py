@@ -207,25 +207,29 @@ class OOCIntersector:
             )
         self.host_dset = dset
         self.dset = DeviceDomainSet.from_host(dset)
-        # Keep only AABBs + metadata resident; geometry goes through slots.
-        self.residency = ResidencyManager(dset, num_slots)
         self.speculate = speculate
         self.max_epochs = max_epochs
         self.leaf_size = dset.leaf_size
-        # Prefetch lookahead (SURVEY §7.1 'Residency'): reserve a small slice
-        # of the slots for uploading PREDICTED next-epoch domains while the
-        # jitted trace runs (device_put is async).  The reserve costs nothing:
-        # unscheduled-but-resident domains (incl. last epoch's prefetches) are
-        # handed to the speculative trace anyway — the reference's 'trace
-        # against all resident domains' — and the K-wide epoch_step pays for K
-        # slots whether they carry real domains or padding.
+        # Prefetch lookahead (SURVEY §7.1 'Residency'): PREDICTED next-epoch
+        # domains upload while the jitted trace runs (device_put is async).
+        # Prefetches land in `reserve` EXTRA transfer buffers beyond the K
+        # trace slots — round 3 first shipped this by carving the reserve out
+        # of the schedule width (6 of 8 slots schedulable), which REGRESSED
+        # config-4 (71 epochs vs 39, 4.7s vs 2.6s, BENCH_extra r3-pre): the
+        # epoch count is set by schedule width, so the reserve must be
+        # additive HBM, not subtractive schedule.  Prefetched domains also
+        # join the speculative trace for free once they rotate into slots.
         self.lookahead = lookahead and num_slots >= 2
+        self.sched_width = num_slots
+        reserve = max(1, num_slots // 4) if self.lookahead else 0
+        self.reserve = reserve
+        # Keep only AABBs + metadata resident; geometry goes through slots.
+        self.residency = ResidencyManager(dset, num_slots + reserve)
         self.stats = EpochStats()
 
     def _run_epochs(self, state):
-        k = self.residency.num_slots
-        reserve = max(1, k // 4) if self.lookahead else 0
-        k_sched = max(1, k - reserve)
+        k = self.sched_width
+        k_sched = k
         for _ in range(self.max_epochs):
             counts = np.asarray(queue_counts(state))
             sched = schedule_top_k(counts, k_sched)
@@ -255,7 +259,7 @@ class OOCIntersector:
                 order = np.argsort(-counts, kind="stable")
                 nxt = [int(d) for d in order
                        if counts[d] > 0 and int(d) not in ids]
-                self.residency.prefetch(nxt[:reserve], pinned=sched)
+                self.residency.prefetch(nxt[:self.reserve], pinned=sched)
             state, traced, spec = epoch_step(
                 state, slots, slot_ids, self.speculate, self.leaf_size
             )

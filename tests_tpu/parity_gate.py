@@ -1,0 +1,194 @@
+"""On-TPU compiled-kernel parity gate (VERDICT r2 next#5).
+
+Asserts that the Mosaic-COMPILED Pallas kernels (not interpret mode, which is
+what tests/ exercises on CPU) agree with the brute-force oracle intersector
+on coherent camera rays, incoherent bounce-style rays, and shadow any-hit
+sets — the exact failure mode this guards against is the silent Woop/MXU
+wrong-hit bug of commit 08ab416, plus any precision regression in the K=32
+split-bf16 cluster matmul (kernels/traverse.py).
+
+Run:  python tests_tpu/parity_gate.py        (needs the TPU; ~2 min)
+Exit code 0 = gate passed; prints one PARITY_GATE json line.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def ray_sets(scene, camera, n):
+    """(name, o, d, tmin, tmax) ray populations with real-frame statistics."""
+    from spray_tpu.core import geom, rng
+    from spray_tpu.kernels.common import tile_swizzle_order
+
+    pixel_ids = jnp.asarray(tile_swizzle_order(camera.width, camera.height))
+    jx = rng.uniform(0, pixel_ids, 0, rng.dim_id(0, rng.PIXEL_JITTER, 0), jnp)
+    jy = rng.uniform(0, pixel_ids, 0, rng.dim_id(0, rng.PIXEL_JITTER, 1), jnp)
+    o, d = geom.camera_rays(camera, pixel_ids, jx, jy, jnp)
+    tmin = jnp.zeros(n, jnp.float32)
+    tmax = jnp.full(n, geom.INF, jnp.float32)
+    yield "camera", o, d, tmin, tmax
+
+    # incoherent: random origins inside the scene box, random directions
+    v = np.asarray(scene.vertices)
+    lo, hi = v.min(0), v.max(0)
+    r = np.random.RandomState(7)
+    ro = jnp.asarray(
+        (r.uniform(size=(n, 3)) * (hi - lo) + lo).astype(np.float32)
+    )
+    rd = r.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    yield "incoherent", ro, jnp.asarray(rd), tmin, tmax
+
+
+def compare(name, hk, hr, t_ref, stats):
+    """Kernel hits vs reference hits with tie-tolerant prim comparison."""
+    vk = np.asarray(hk.valid)
+    vr = np.asarray(hr.valid)
+    valid_mismatch = float((vk != vr).mean())
+    m = vk & vr
+    tk, tr = np.asarray(hk.t)[m], np.asarray(hr.t)[m]
+    scale = np.maximum(np.abs(tr), 1e-3)
+    t_bad = float((np.abs(tk - tr) > 1e-3 * scale).mean()) if m.any() else 0.0
+    pk, pr = np.asarray(hk.prim)[m], np.asarray(hr.prim)[m]
+    # ties: reference t within 1e-3 rel of kernel t but different prim
+    mism = pk != pr
+    real = mism & (np.abs(tk - tr) > 1e-3 * scale)
+    prim_bad = float(real.mean()) if m.any() else 0.0
+    ok = valid_mismatch < 5e-4 and t_bad < 5e-4 and prim_bad < 2e-3
+    stats[name] = {
+        "valid_mismatch": round(valid_mismatch, 6),
+        "t_bad": round(t_bad, 6),
+        "prim_mismatch_nontie": round(prim_bad, 6),
+        "ok": bool(ok),
+    }
+    return ok
+
+
+def main():
+    from spray_tpu.core.camera import make_camera
+    from spray_tpu.io.scenes import wisp_cloud
+    from spray_tpu.kernels.multidomain import MultiDomainClusterIntersector
+    from spray_tpu.kernels.traverse import ClusterBVHIntersector
+    from spray_tpu.oracle.brute import BruteIntersector
+
+    assert jax.default_backend() == "tpu", (
+        "parity gate must run compiled on TPU; got "
+        f"{jax.default_backend()}"
+    )
+    size = 128
+    scene = wisp_cloud(n_blobs=2, tris_per_blob=8192, seed=3)
+    camera = make_camera(
+        eye=(14.0, 10.0, 18.0), lookat=(0, 0, 0), up=(0, 1, 0),
+        fov_y_deg=45, width=size, height=size,
+    )
+    n = size * size
+    print(f"scene: {scene.num_faces} tris; {n} rays/set", flush=True)
+
+    kernels = {
+        "multidomain": MultiDomainClusterIntersector(
+            scene, n_domains=4, interpret=False
+        ),
+        "cluster1dom": ClusterBVHIntersector(scene, interpret=False),
+    }
+    brute = BruteIntersector(scene, jnp)
+
+    nearest_j = jax.jit(
+        lambda s, o, d, tmin, win: s.intersect(o, d, tmin, win)
+    )
+    anyhit_j = jax.jit(lambda s, o, d, win: s.occluded(o, d, win))
+
+    def brute_nearest(o, d, tmin, win, chunk=2048):
+        """Brute is O(rays x tris) dense -> chunk rays to bound HBM."""
+        outs = [
+            nearest_j(brute, o[i:i+chunk], d[i:i+chunk], tmin[i:i+chunk],
+                      win[i:i+chunk])
+            for i in range(0, o.shape[0], chunk)
+        ]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+
+    def brute_anyhit(o, d, win, chunk=2048):
+        return jnp.concatenate([
+            anyhit_j(brute, o[i:i+chunk], d[i:i+chunk], win[i:i+chunk])
+            for i in range(0, o.shape[0], chunk)
+        ])
+
+    stats = {}
+    all_ok = True
+    for rname, o, d, tmin, tmax in ray_sets(scene, camera, n):
+        hr = brute_nearest(o, d, tmin, tmax)
+        np.asarray(hr.t)
+        for kname, isect in kernels.items():
+            t0 = time.time()
+            hk = nearest_j(isect, o, d, tmin, tmax)
+            np.asarray(hk.t)
+            ok = compare(f"{kname}/{rname}", hk, hr, hr.t, stats)
+            stats[f"{kname}/{rname}"]["wall_s"] = round(time.time() - t0, 1)
+            all_ok &= ok
+            # any-hit against brute occlusion on a shortened window
+            win = jnp.where(
+                hr.valid, jnp.asarray(hr.t) * jnp.float32(1.5),
+                jnp.float32(20.0),
+            )
+            occ_k = np.asarray(anyhit_j(isect, o, d, win))
+            occ_r = np.asarray(brute_anyhit(o, d, win))
+            occ_bad = float((occ_k != occ_r).mean())
+            stats[f"{kname}/{rname}"]["occ_mismatch"] = round(occ_bad, 6)
+            ok2 = occ_bad < 2e-3  # window-edge ties
+            stats[f"{kname}/{rname}"]["ok"] = bool(ok and ok2)
+            all_ok &= ok2
+
+    # frame-level: the two compiled kernel paths must agree pixel-for-pixel
+    # (same split-K math, different traversal orchestration) ...
+    from spray_tpu.core.config import RenderConfig
+    from spray_tpu.integrators.device import render_device
+
+    cfg = RenderConfig(spp=1, bounces=2, integrator="pt", seed=0)
+    img_k = render_device(
+        scene, camera, cfg, intersector=kernels["multidomain"]
+    )
+    img_c = render_device(
+        scene, camera, cfg, intersector=kernels["cluster1dom"]
+    )
+    diff = np.abs(np.asarray(img_k) - np.asarray(img_c))
+    frac_off = float((diff.max(axis=-1) > 1e-3).mean())
+    stats["frame_md_vs_1dom"] = {
+        "pix_off_frac": round(frac_off, 6),
+        "ok": bool(frac_off < 5e-3),
+    }
+    all_ok &= frac_off < 5e-3
+
+    # ... and a true-oracle image check: 64x64 vs the numpy brute wavefront
+    from spray_tpu.core.camera import make_camera as _mk
+    from spray_tpu.oracle import render_oracle
+
+    cam64 = make_camera(
+        eye=(14.0, 10.0, 18.0), lookat=(0, 0, 0), up=(0, 1, 0),
+        fov_y_deg=45, width=64, height=64,
+    )
+    img_k64 = np.asarray(render_device(
+        scene, cam64, cfg, intersector=kernels["multidomain"]
+    ))
+    img_o64 = np.asarray(render_oracle(scene, cam64, cfg, pixel_chunk=1024))
+    diff = np.abs(img_k64 - img_o64)
+    frac_off = float((diff.max(axis=-1) > 1e-3).mean())
+    stats["frame_vs_oracle64"] = {
+        "pix_off_frac": round(frac_off, 6),
+        "ok": bool(frac_off < 5e-3),
+    }
+    all_ok &= frac_off < 5e-3
+
+    print("PARITY_GATE " + json.dumps({"ok": bool(all_ok), "detail": stats}))
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
