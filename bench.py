@@ -177,6 +177,26 @@ def spec_suite(args):
     return out
 
 
+def scaling_suite():
+    """Mesh-scaling overhead curve on a virtual CPU mesh (VERDICT r2 #7) —
+    run in a SUBPROCESS so the CPU platform config can't leak into the TPU
+    bench process."""
+    import os
+    import subprocess
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    out = subprocess.run(
+        [sys.executable,
+         str(Path(__file__).parent / "profiling" / "scaling_curve.py")],
+        env=env, capture_output=True, text=True, timeout=1800,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
@@ -197,6 +217,10 @@ def main():
     result = headline(args)
     if args.suite:
         extra = spec_suite(args)
+        try:
+            extra["scaling_cpu_mesh"] = scaling_suite()
+        except Exception as e:  # scaling curve is auxiliary, never fatal
+            extra["scaling_cpu_mesh"] = {"error": str(e)[:200]}
         (Path(__file__).parent / "BENCH_extra.json").write_text(
             json.dumps(extra, indent=1)
         )

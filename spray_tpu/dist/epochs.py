@@ -104,6 +104,21 @@ class CollectiveEpochIntersector:
         self.bucket = bucket
         self.leaf_size = leaf_size
         self.max_epochs = max_epochs
+        # traced per-call (epochs, rays_exchanged) pairs — the dist analog of
+        # sched.epochs.EpochStats (SURVEY §2 R19); drained by the renderer
+        # into its returned stats vector
+        self._stat_log = []
+
+    def drain_stats(self):
+        """Sum and clear the traced stat pairs logged by intersect/occluded
+        calls in the CURRENT trace scope.  Returns (epochs, exchanged)."""
+        if not self._stat_log:
+            z = jnp.int32(0)
+            return z, z
+        es = sum(e for e, _ in self._stat_log)
+        xs = sum(x for _, x in self._stat_log)
+        self._stat_log = []
+        return es, xs
 
     # -- helpers ---------------------------------------------------------
     def _entries(self, o, d, tmin, tmax):
@@ -235,6 +250,9 @@ class CollectiveEpochIntersector:
             )
             state["global_need"] = jax.lax.psum(local_need, self.axis)
             state["epoch"] = state["epoch"] + 1
+            state["exchanged"] = state["exchanged"] + jax.lax.psum(
+                jnp.sum(vmask, dtype=jnp.int32), self.axis
+            )
             return state
 
         state = {
@@ -246,12 +264,15 @@ class CollectiveEpochIntersector:
             "processed": jnp.zeros((m, dcount), bool),
             "epoch": jnp.int32(0),
             "global_need": jnp.int32(1),
+            "exchanged": jnp.int32(0),
         }
         # prime the liveness counter
         state["global_need"] = jax.lax.psum(
             jnp.sum(jnp.any(needed(state), axis=1), dtype=jnp.int32), self.axis
         )
-        return jax.lax.while_loop(cond, body, state)
+        final = jax.lax.while_loop(cond, body, state)
+        self._stat_log.append((final["epoch"], final["exchanged"]))
+        return final
 
     # -- intersector interface (collective!) -----------------------------
     def intersect(self, o, d, tmin, tmax):
@@ -290,20 +311,29 @@ def make_insitu_renderer(scene, camera, cfg, mesh, axis="dev", n_domains=None,
     }
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
-    stacked = {
-        k: jax.device_put(jnp.asarray(v), shard) for k, v in stacked.items()
-    }
-    aabb_lo = jax.device_put(jnp.asarray(dset.aabb_lo), repl)
-    aabb_hi = jax.device_put(jnp.asarray(dset.aabb_hi), repl)
-    owner_dev = jax.device_put(jnp.asarray(owner), repl)
+
+    def put(host, sharding):
+        """Multiprocess-safe placement: every process materializes only its
+        addressable shards of the global array (the scene is built
+        identically on all processes, the reference's in-situ 'data produced
+        in place', SURVEY §3.4).  Equivalent to device_put single-process."""
+        host = np.asarray(host)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+
+    stacked = {k: put(v, shard) for k, v in stacked.items()}
+    aabb_lo = put(dset.aabb_lo, repl)
+    aabb_hi = put(dset.aabb_hi, repl)
+    owner_dev = put(owner, repl)
 
     npix = camera.width * camera.height
     order = tile_swizzle_order(camera.width, camera.height)
     pad = (-npix) % ndev
     order_padded = np.concatenate([order, np.zeros(pad, np.uint32)])
-    pixel_ids = jax.device_put(jnp.asarray(order_padded), shard)
-    scene_arrays = jax.device_put(
-        wavefront.make_scene_arrays(scene, jnp), repl
+    pixel_ids = put(order_padded, shard)
+    scene_arrays = jax.tree.map(
+        lambda a: put(a, repl), wavefront.make_scene_arrays(scene, jnp)
     )
 
     @jax.jit
@@ -313,7 +343,7 @@ def make_insitu_renderer(scene, camera, cfg, mesh, axis="dev", n_domains=None,
             {k: P(axis) for k in stacked}, P(), P(), P(), P(axis),
             jax.tree.map(lambda _: P(), scene_arrays),
         ),
-        out_specs=P(axis),
+        out_specs=(P(axis), P()),  # image sharded; stats replicated (psum'd)
         check_vma=False,
     )
     def run(local_domains, lo, hi, own, pix, arrays):
@@ -323,21 +353,52 @@ def make_insitu_renderer(scene, camera, cfg, mesh, axis="dev", n_domains=None,
         )
 
         def body(acc, s):
-            return acc + wavefront.sample_wavefront(
-                arrays, camera, cfg, inter, jnp, s, pix
-            ), None
+            rad, nrays = wavefront.sample_wavefront(
+                arrays, camera, cfg, inter, jnp, s, pix, with_stats=True
+            )
+            epochs, exchanged = inter.drain_stats()
+            stats = jnp.stack([
+                jax.lax.psum(nrays, axis),
+                epochs.astype(jnp.float32),  # while-count: equal on all devs
+                exchanged.astype(jnp.float32),
+            ])
+            return acc + rad, stats
 
-        acc, _ = jax.lax.scan(
+        acc, stats = jax.lax.scan(
             body, jnp.zeros((pix.shape[0], 3), jnp.float32),
             jnp.arange(cfg.spp, dtype=jnp.uint32),
         )
-        return acc / jnp.float32(cfg.spp)
+        return acc / jnp.float32(cfg.spp), jnp.sum(stats, axis=0)
+
+    def _store_stats(stats):
+        s = np.asarray(stats)
+        render.last_stats = {
+            "trace_activations": int(s[0]),
+            "epochs": int(s[1]),
+            "rays_exchanged": int(s[2]),
+        }
 
     def render():
-        acc = run(stacked, aabb_lo, aabb_hi, owner_dev, pixel_ids,
-                  scene_arrays)
+        acc, stats = run(stacked, aabb_lo, aabb_hi, owner_dev, pixel_ids,
+                         scene_arrays)
         img = np.zeros((npix + pad, 3), np.float32)
         img[np.asarray(order_padded)] = np.asarray(acc)
+        _store_stats(stats)
         return img[:npix].reshape(camera.height, camera.width, 3)
 
+    def render_local():
+        """Multiprocess variant: returns (pixel_ids, radiance) covering only
+        THIS process's addressable shards — each jax.distributed process
+        reconstructs (and can verify) its own slice of the frame."""
+        acc, stats = run(stacked, aabb_lo, aabb_hi, owner_dev, pixel_ids,
+                         scene_arrays)
+        pids, vals = [], []
+        for s in acc.addressable_shards:
+            pids.append(order_padded[s.index[0]])
+            vals.append(np.asarray(s.data))
+        _store_stats(stats)
+        return np.concatenate(pids), np.concatenate(vals)
+
+    render.last_stats = None  # set after each call (R19 dist counters)
+    render.local = render_local
     return render
