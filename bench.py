@@ -216,7 +216,10 @@ def main():
     _enable_compile_cache()
     result = headline(args)
     if args.suite:
-        extra = spec_suite(args)
+        try:
+            extra = spec_suite(args)
+        except Exception as e:  # suite is auxiliary: never lose the headline
+            extra = {"error": str(e)[:300]}
         try:
             extra["scaling_cpu_mesh"] = scaling_suite()
         except Exception as e:  # scaling curve is auxiliary, never fatal

@@ -75,12 +75,19 @@ jax.tree_util.register_pytree_node(
 
 
 def _leaf_intersect(bvh, first, o, d, tmin, best_t, any_hit):
-    """Intersect one padded leaf run starting at `first` (leaf_size tris)."""
+    """Intersect one padded leaf run starting at `first` (leaf_size tris).
+
+    Indexed gather, NOT dynamic_slice: under vmap (one start index per ray) a
+    batched dynamic_slice lowered to a broadcast of the WHOLE triangle array
+    per ray — a f32[rays, tris, 3] compile-time allocation that OOM'd HBM at
+    16K rays x 29K tris (r3 bench).  A fancy-index gather batches as a plain
+    (rays, leaf_size, 3) gather."""
     ls = bvh.leaf_size
-    v0 = jax.lax.dynamic_slice_in_dim(bvh.v0, first, ls)
-    e1 = jax.lax.dynamic_slice_in_dim(bvh.e1, first, ls)
-    e2 = jax.lax.dynamic_slice_in_dim(bvh.e2, first, ls)
-    ids = jax.lax.dynamic_slice_in_dim(bvh.orig_id, first, ls)
+    idx = first + jnp.arange(ls, dtype=jnp.int32)
+    v0 = bvh.v0[idx]
+    e1 = bvh.e1[idx]
+    e2 = bvh.e2[idx]
+    ids = bvh.orig_id[idx]
     t, u, v, ok = geom.moller_trumbore(o, d, v0, e1, e2, jnp)
     ok = ok & (ids >= 0) & (t >= tmin) & (t < best_t)
     t = jnp.where(ok, t, geom.INF)

@@ -106,6 +106,11 @@ def cmd_render(args):
         stats["domain_loads"] = s.domain_loads
         stats["residency_hits"] = s.cache_hits
         stats["speculation_efficiency"] = round(s.speculation_efficiency, 4)
+    if args.epoch_log and getattr(inter, "epoch_log", None):
+        with open(args.epoch_log, "w") as f:
+            for row in inter.epoch_log:
+                f.write(json.dumps(row) + "\n")
+        stats["epoch_log"] = args.epoch_log
     print(json.dumps(stats))
     if args.view:
         from .viewer import show_terminal
@@ -162,6 +167,9 @@ def main(argv=None):
     pr.add_argument("--slots", type=int, default=4)
     pr.add_argument("--view", action="store_true",
                     help="ANSI terminal preview after render")
+    pr.add_argument("--epoch-log", default=None, metavar="PATH",
+                    help="write per-epoch scheduler log as JSONL (ooc/"
+                         "baseline schedulers)")
     pr.set_defaults(fn=cmd_render)
 
     pb = sub.add_parser("bench")

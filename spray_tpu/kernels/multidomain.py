@@ -111,6 +111,52 @@ def split_for_vmem(scene, max_tris=MAX_DOMAIN_TRIS):
     return max(1, -(-ntri // max_tris))
 
 
+def build_cluster_domains(scene, n_domains=None):
+    """Partition the scene and build one ClusterBVH per domain, stacked to
+    IDENTICAL padded shapes (host numpy).  Shared by the all-resident
+    multi-domain intersector and the OOC residency slots (SURVEY §2 R10) —
+    the same per-domain pages stream host->HBM or sit stacked in HBM.
+
+    Returns dict: bounds (D,Nn,8,6), meta (D,Nn,8), w (D,Nc,4,3C),
+    tri_ids (D,Nc*C) GLOBAL ids, aabb (D,6).
+    """
+    verts = np.asarray(scene.vertices, np.float32)
+    faces = np.asarray(scene.faces, np.int64)
+    if n_domains is None:
+        n_domains = split_for_vmem(scene)
+    tv = verts[faces.reshape(-1)].reshape(-1, 3, 3)
+    centers = tv.mean(1)
+    if n_domains == 1:
+        assign = np.zeros(len(centers), np.int32)
+    else:
+        assign = median_split_assign(centers, n_domains)
+    cbvhs = []
+    aabbs = []
+    for d in range(n_domains):
+        ids = np.nonzero(assign == d)[0]
+        if len(ids) == 0:
+            continue
+        cbvh = build_cluster_bvh(verts, faces[ids])
+        local = cbvh.tri_ids
+        cbvh.tri_ids = np.where(
+            local >= 0, ids[np.clip(local, 0, None)], -1
+        ).astype(np.int32)
+        cbvhs.append(cbvh)
+        dv = verts[faces[ids].reshape(-1)]
+        aabbs.append(np.concatenate([dv.min(0), dv.max(0)]))
+    nn_max = max(c.bounds.shape[0] for c in cbvhs)
+    nc_max = max(c.w.shape[0] for c in cbvhs)
+    return {
+        "aabb": np.stack(aabbs).astype(np.float32),
+        "bounds": np.stack([_pad0(c.bounds, nn_max) for c in cbvhs]),
+        "meta": np.stack([_pad_const(c.meta, nn_max, -1) for c in cbvhs]),
+        "w": np.stack([_pad0(c.w, nc_max) for c in cbvhs]),
+        "tri_ids": np.stack(
+            [_pad_const(c.tri_ids, nc_max, -1).reshape(-1) for c in cbvhs]
+        ),
+    }
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _scan_nearest(bounds, meta, w, tri_ids, aug, n_static, tmax, interpret):
     """Scan domains; carry best (t, prim, u, v).  aug: (P, 16, PACKET)."""
@@ -284,47 +330,13 @@ class MultiDomainClusterIntersector:
 
     def __init__(self, scene, n_domains=None, interpret=None, routed=True):
         self.routed = routed
-        verts = np.asarray(scene.vertices, np.float32)
-        faces = np.asarray(scene.faces, np.int64)
-        if n_domains is None:
-            n_domains = split_for_vmem(scene)
-        tv = verts[faces.reshape(-1)].reshape(-1, 3, 3)
-        centers = tv.mean(1)
-        if n_domains == 1:
-            assign = np.zeros(len(centers), np.int32)
-        else:
-            assign = median_split_assign(centers, n_domains)
-        cbvhs = []
-        aabbs = []
-        for d in range(n_domains):
-            ids = np.nonzero(assign == d)[0]
-            if len(ids) == 0:
-                continue
-            cbvh = build_cluster_bvh(verts, faces[ids])
-            local = cbvh.tri_ids
-            cbvh.tri_ids = np.where(
-                local >= 0, ids[np.clip(local, 0, None)], -1
-            ).astype(np.int32)
-            cbvhs.append(cbvh)
-            dv = verts[faces[ids].reshape(-1)]
-            aabbs.append(np.concatenate([dv.min(0), dv.max(0)]))
-        self.dom_aabb = jnp.asarray(np.stack(aabbs).astype(np.float32))
-        self.n_domains = len(cbvhs)
-        # Stack with IDENTICAL padded shapes: one kernel, one scan.
-        nn_max = max(c.bounds.shape[0] for c in cbvhs)
-        nc_max = max(c.w.shape[0] for c in cbvhs)
-        self.bounds = jnp.asarray(
-            np.stack([_pad0(c.bounds, nn_max) for c in cbvhs])
-        )
-        self.meta = jnp.asarray(
-            np.stack([_pad_const(c.meta, nn_max, -1) for c in cbvhs])
-        )
-        self.w = jnp.asarray(np.stack([_pad0(c.w, nc_max) for c in cbvhs]))
-        self.tri_ids = jnp.asarray(
-            np.stack(
-                [_pad_const(c.tri_ids, nc_max, -1).reshape(-1) for c in cbvhs]
-            )
-        )
+        st = build_cluster_domains(scene, n_domains)
+        self.dom_aabb = jnp.asarray(st["aabb"])
+        self.n_domains = st["bounds"].shape[0]
+        self.bounds = jnp.asarray(st["bounds"])
+        self.meta = jnp.asarray(st["meta"])
+        self.w = jnp.asarray(st["w"])
+        self.tri_ids = jnp.asarray(st["tri_ids"])
         self.v0, self.e1, self.e2 = tri_soa_from_scene(scene)
         self.interpret = (
             common.use_interpret() if interpret is None else interpret

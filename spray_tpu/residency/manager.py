@@ -23,10 +23,16 @@ from ..domains.partition import DomainSet
 
 
 class ResidencyManager:
-    def __init__(self, dset: DomainSet, num_slots, device=None):
+    def __init__(self, dset: DomainSet, num_slots, device=None,
+                 domain_provider=None):
+        """dset: stacked host DomainSet (jnp-BVH page layout), OR pass
+        domain_provider(d) -> dict of host arrays for any other per-domain
+        page format (e.g. the Pallas cluster-BVH pages) — residency is page-
+        format agnostic: it streams whatever dict the provider returns."""
         self.host = dset
         self.num_slots = int(num_slots)
         self.device = device or jax.devices()[0]
+        self._provider = domain_provider
         self._resident = {}  # domain_id -> device pytree (dict of arrays)
         self._lru = []  # domain ids, least-recent first
         self.loads = 0  # stats: domain uploads (reference's 'domains loaded')
@@ -34,6 +40,8 @@ class ResidencyManager:
         self.prefetches = 0  # uploads issued ahead of schedule (overlapped)
 
     def _host_domain(self, d):
+        if self._provider is not None:
+            return self._provider(d)
         h = self.host
         return {
             "child_lo": h.child_lo[d], "child_hi": h.child_hi[d],

@@ -177,6 +177,82 @@ def epoch_step(state: EpochState, slots, slot_ids, speculate, leaf_size):
     return state, traced, speculated
 
 
+@functools.partial(jax.jit, static_argnames=("speculate", "interpret"))
+def epoch_step_cluster(state: EpochState, slots, speculate, interpret):
+    """Trace one epoch over the resident slots USING THE PALLAS CLUSTER
+    KERNELS (r3: the jnp vmapped-traversal epoch body compile-exploded and
+    crashed the TPU worker at bench scale; the slot pages are now the same
+    cluster-BVH format the fast single-chip path traces).
+
+    slots: dict of stacked (K, ...) device arrays {bounds, meta, w, tri_ids,
+    id}; id -1 marks a padded slot.  lax.scan over slots — ONE Mosaic
+    instantiation regardless of K, identical to the dense-speculation scan
+    (SURVEY §7.1).  Occlusion rays reuse the nearest kernel with found-lane
+    zero windows (the original epoch_step's behavior).
+    Returns (state, traced, speculated).
+    """
+    from ..kernels.traverse import PACKET, _nearest_call, _rays_to_aug
+
+    need = needed_mask(state)
+    masked_entry = jnp.where(need, state.entry_t, jnp.inf)
+    nearest_dom = jnp.argmin(masked_entry, axis=1)
+    has_need = jnp.isfinite(jnp.min(masked_entry, axis=1))
+    n = state.o.shape[0]
+    aug, _ = _rays_to_aug(state.o, state.d, state.tmin, state.best_t)
+    p = aug.shape[0]
+    npad = p * PACKET
+
+    def pad(x, fill):
+        if n >= npad:
+            return x
+        return jnp.concatenate([x, jnp.full(npad - n, fill, x.dtype)])
+
+    def body(carry, slot):
+        best_t, best_prim, found, processed, traced, spec = carry
+        d_id = slot["id"]
+        col = jnp.maximum(d_id, 0)
+        active = need[:, col] & (d_id >= 0)
+        if not speculate:
+            active = active & (nearest_dom == d_id) & has_need
+        is_spec = active & ~((nearest_dom == d_id) & has_need)
+        traced = traced + jnp.sum(active, dtype=jnp.int32)
+        spec = spec + jnp.sum(is_spec, dtype=jnp.int32)
+
+        live = active & ~(state.occ_mode & found)
+        win = jnp.where(live, best_t, jnp.float32(0.0))
+        a = aug.at[:, 5, 0:PACKET].set(pad(win, 0.0).reshape(p, PACKET))
+        t, code = _nearest_call(
+            jnp.zeros(p, jnp.int32), slot["bounds"][None],
+            slot["meta"][None], slot["w"][None], a, interpret,
+        )
+        t = t.reshape(-1)[:n]
+        code = code.reshape(-1)[:n]
+        prim = jnp.where(
+            code >= 0, slot["tri_ids"][jnp.maximum(code, 0)], -1
+        )
+        f = (prim >= 0) & active
+        upd = f & (t < best_t)
+        return (
+            jnp.where(upd, t, best_t),
+            jnp.where(upd, prim, best_prim),
+            found | f,
+            processed.at[:, col].set(processed[:, col] | active),
+            traced, spec,
+        ), None
+
+    init = (
+        state.best_t, state.best_prim, state.found, state.processed,
+        jnp.int32(0), jnp.int32(0),
+    )
+    (bt, bp, found, processed, traced, spec), _ = jax.lax.scan(
+        body, init, slots
+    )
+    state = dataclasses.replace(
+        state, best_t=bt, best_prim=bp, found=found, processed=processed
+    )
+    return state, traced, spec
+
+
 def schedule_top_k(counts, k):
     """Host scheduler: the K largest nonempty queues (reference's
     biggest-queue-first policy, SURVEY §2 R8)."""
@@ -198,18 +274,55 @@ class OOCIntersector:
 
     def __init__(self, scene=None, n_domains=64, num_slots=8, dset=None,
                  leaf_size=16, branching=8, speculate=True, max_epochs=256,
-                 lookahead=True):
-        if dset is None:
-            from ..domains.partition import partition_scene  # noqa: PLC0415
-
-            dset = partition_scene(
-                scene, n_domains, leaf_size=leaf_size, branching=branching
-            )
-        self.host_dset = dset
-        self.dset = DeviceDomainSet.from_host(dset)
+                 lookahead=True, backend="auto", interpret=None):
+        if backend == "auto":
+            backend = "cluster" if (
+                dset is None and jax.default_backend() == "tpu"
+            ) else "jnp"
+        self.backend = backend
         self.speculate = speculate
         self.max_epochs = max_epochs
-        self.leaf_size = dset.leaf_size
+        if backend == "cluster":
+            from ..kernels import common  # noqa: PLC0415
+            from ..kernels.multidomain import build_cluster_domains  # noqa: PLC0415
+            from ..kernels.traverse import tri_soa_from_scene  # noqa: PLC0415
+
+            st = build_cluster_domains(scene, n_domains)
+            self._cluster_host = st
+            aabb = st["aabb"]
+            # light AABB-only view for domain_entries/init_state
+            self.dset = DeviceDomainSet(
+                aabb_lo=jnp.asarray(aabb[:, 0:3]),
+                aabb_hi=jnp.asarray(aabb[:, 3:6]),
+                child_lo=None, child_hi=None, child_node=None,
+                child_count=None, v0=None, e1=None, e2=None, orig_id=None,
+                leaf_size=leaf_size,
+            )
+            self.host_dset = None
+            self.leaf_size = leaf_size
+            self.v0, self.e1, self.e2 = tri_soa_from_scene(scene)
+            self.interpret = (
+                common.use_interpret() if interpret is None else interpret
+            )
+
+            def provider(d):
+                return {
+                    "bounds": st["bounds"][d], "meta": st["meta"][d],
+                    "w": st["w"][d], "tri_ids": st["tri_ids"][d],
+                }
+
+            self._domain_provider = provider
+        else:
+            if dset is None:
+                from ..domains.partition import partition_scene  # noqa: PLC0415
+
+                dset = partition_scene(
+                    scene, n_domains, leaf_size=leaf_size, branching=branching
+                )
+            self.host_dset = dset
+            self.dset = DeviceDomainSet.from_host(dset)
+            self.leaf_size = dset.leaf_size
+            self._domain_provider = None
         # Prefetch lookahead (SURVEY §7.1 'Residency'): PREDICTED next-epoch
         # domains upload while the jitted trace runs (device_put is async).
         # Prefetches land in `reserve` EXTRA transfer buffers beyond the K
@@ -224,8 +337,15 @@ class OOCIntersector:
         reserve = max(1, num_slots // 4) if self.lookahead else 0
         self.reserve = reserve
         # Keep only AABBs + metadata resident; geometry goes through slots.
-        self.residency = ResidencyManager(dset, num_slots + reserve)
+        self.residency = ResidencyManager(
+            self.host_dset, num_slots + reserve,
+            domain_provider=self._domain_provider,
+        )
         self.stats = EpochStats()
+        # structured per-epoch log (SURVEY §5 observability): one dict per
+        # epoch with queue sizes, schedule, residency and work counters —
+        # the reference's per-rank stdout stats, queryable instead
+        self.epoch_log = []
 
     def _run_epochs(self, state):
         k = self.sched_width
@@ -260,12 +380,33 @@ class OOCIntersector:
                 nxt = [int(d) for d in order
                        if counts[d] > 0 and int(d) not in ids]
                 self.residency.prefetch(nxt[:self.reserve], pinned=sched)
-            state, traced, spec = epoch_step(
-                state, slots, slot_ids, self.speculate, self.leaf_size
-            )
+            if self.backend == "cluster":
+                stacked = {
+                    key: jnp.stack([s[key] for s in slots])
+                    for key in ("bounds", "meta", "w", "tri_ids")
+                }
+                stacked["id"] = slot_ids
+                state, traced, spec = epoch_step_cluster(
+                    state, stacked, self.speculate, self.interpret
+                )
+            else:
+                state, traced, spec = epoch_step(
+                    state, slots, slot_ids, self.speculate, self.leaf_size
+                )
             self.stats.epochs += 1
             self.stats.rays_traced += int(traced)
             self.stats.rays_speculated += int(spec)
+            self.epoch_log.append({
+                "epoch": self.stats.epochs,
+                "queued": int(counts.sum()),
+                "scheduled": sched,
+                "resident_extra": len(ids) - len(sched),
+                "traced": int(traced),
+                "speculated": int(spec),
+                "loads": self.residency.loads,
+                "hits": self.residency.hits,
+                "prefetches": self.residency.prefetches,
+            })
         else:
             raise RuntimeError("epoch loop failed to converge (max_epochs)")
         self.stats.domain_loads = self.residency.loads
@@ -277,6 +418,19 @@ class OOCIntersector:
         state = init_state(self.dset, o, d, tmin, tmax, occ_mode=False)
         state = self._run_epochs(state)
         self.stats.committed += int(jnp.sum(state.found))
+        if self.backend == "cluster":
+            # kernels return (t, prim) only; recompute (t, u, v) against the
+            # committed triangle exactly as the fast path does
+            from ..kernels.traverse import attrs_for_prims  # noqa: PLC0415
+
+            t, u, v, valid = attrs_for_prims(
+                self.v0, self.e1, self.e2, state.best_prim, o, d,
+                state.best_t, tmax,
+            )
+            return Hits(
+                t=jnp.where(valid, t, tmax),
+                prim=state.best_prim.astype(jnp.int32), u=u, v=v, valid=valid,
+            )
         return Hits(
             t=jnp.where(state.found, state.best_t, tmax),
             prim=state.best_prim, u=state.best_u, v=state.best_v,

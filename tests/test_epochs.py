@@ -91,3 +91,29 @@ def test_commit_invariant_property():
     best = np.asarray(state.best_t)
     viol = (~processed) & np.isfinite(entry) & (entry < best[:, None])
     assert not viol.any()
+
+
+def test_ooc_cluster_backend_matches_brute():
+    """The Pallas cluster-kernel epoch backend (TPU default; interpret mode
+    here) commits the same hits as the brute oracle and the jnp backend."""
+    n = 512
+    o, d = _rand_rays(SCENE, n, seed=2)
+    ref = BruteIntersector(SCENE, jnp)
+    hr = _intersect_all(ref, o, d, n)
+    spec = OOCIntersector(
+        SCENE, n_domains=8, num_slots=4, speculate=True,
+        backend="cluster", interpret=True,
+    )
+    hc = _intersect_all(spec, o, d, n)
+    np.testing.assert_array_equal(np.asarray(hr.valid), np.asarray(hc.valid))
+    m = np.asarray(hr.valid)
+    np.testing.assert_allclose(
+        np.asarray(hc.t)[m], np.asarray(hr.t)[m], rtol=1e-4, atol=1e-5
+    )
+    # occlusion path
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(ref.occluded(o, d, tmax)),
+        np.asarray(spec.occluded(o, d, tmax)),
+    )
+    assert spec.stats.epochs > 1  # actually exercised the scheduler
