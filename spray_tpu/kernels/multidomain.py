@@ -66,25 +66,43 @@ def _packet_domain_order(aug, dom_aabb):
     return order, entry_sorted
 
 
-def _live_partition(win):
-    """Stable partition: rays with a live window first, dead lanes last.
+def _live_partition(win, d=None):
+    """Stable 9-bucket partition: live rays grouped by direction OCTANT
+    (8 buckets), dead lanes last.
 
-    Bounce/NEE wavefronts are mostly dead lanes (measured 94% for shadow
-    rays, 70% at bounce 2 on the bench scene); interleaved with live rays
-    they ride along in live packets for free — cost scales with PACKET
-    count, not live-lane count.  Compacted, the dead tail forms packets
-    that root out at the grid-step floor.  cumsum-based (no sort: a 262K
-    argsort costs ~25 ms on this chip, the whole point is to save that
-    order of time).  Returns (perm, inv): trace o[perm] etc, then
-    result[inv] restores input order.  Results are exact — the kernels are
-    order-independent per ray.
+    Two packet pathologies, one pass: (1) bounce/NEE wavefronts are mostly
+    dead lanes (measured 94% for shadow rays, 70% at bounce 2 on the bench
+    scene) that ride along in live packets — compacted, the dead tail forms
+    packets that root out at the grid-step floor.  (2) live bounce rays mix
+    all 8 direction octants per packet (origins are tile-coherent already;
+    cosine-sampled directions are not), so every visit pays the union
+    frustum — octant grouping turns the per-packet hemisphere into a cone.
+    Stability preserves tile order inside each bucket, keeping origins
+    tight.  cumsum-based (no sort: a 262K argsort costs ~25 ms on this
+    chip, the whole point is to save that order of time).  Returns
+    (perm, inv): trace o[perm] etc, then result[inv] restores input order.
+    Results are exact — the kernels are order-independent per ray.
     """
     live = win > 0
     n = win.shape[0]
-    nlive = jnp.sum(live.astype(jnp.int32))
-    pos_live = jnp.cumsum(live.astype(jnp.int32)) - 1
-    pos_dead = nlive + jnp.cumsum((~live).astype(jnp.int32)) - 1
-    inv = jnp.where(live, pos_live, pos_dead)  # ray i -> compacted slot
+    if d is None:
+        key = jnp.where(live, 0, 8)
+    else:
+        octant = (
+            (d[:, 0] > 0).astype(jnp.int32)
+            | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+            | ((d[:, 2] > 0).astype(jnp.int32) << 2)
+        )
+        key = jnp.where(live, octant, 8)
+    onehot = key[:, None] == jnp.arange(9, dtype=jnp.int32)[None]  # (n, 9)
+    counts = jnp.sum(onehot, axis=0, dtype=jnp.int32)
+    base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    rank = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1  # (n, 9)
+    inv = base[key] + jnp.take_along_axis(
+        rank, key[:, None], axis=1
+    )[:, 0]  # ray i -> compacted slot
     perm = jnp.zeros(n, jnp.int32).at[inv].set(
         jnp.arange(n, dtype=jnp.int32)
     )
@@ -344,7 +362,7 @@ class MultiDomainClusterIntersector:
 
     def intersect(self, o, d, tmin, tmax):
         n = o.shape[0]
-        perm, inv = _live_partition(tmax)
+        perm, inv = _live_partition(tmax, d)
         o_, d_, tmin_, tmax_ = o[perm], d[perm], tmin[perm], tmax[perm]
         aug, _ = _rays_to_aug(o_, d_, tmin_, tmax_)
         if self.routed:
@@ -369,7 +387,7 @@ class MultiDomainClusterIntersector:
     def occluded(self, o, d, tmax):
         n = o.shape[0]
         tmin = jnp.zeros_like(tmax)
-        perm, inv = _live_partition(tmax)
+        perm, inv = _live_partition(tmax, d)
         aug, _ = _rays_to_aug(o[perm], d[perm], tmin, tmax[perm])
         if self.routed:
             occ = _routed_anyhit(
