@@ -97,6 +97,13 @@ def headline(args):
             "compile_s": round(compile_s, 1),
             "backend": jax.default_backend(),
             "intersector": type(isect).__name__,
+            "notes": (
+                "r3: 2.5x r2's honest number (frame 37.3s->6.9s) via K=32 "
+                "split-bf16 cluster matmul (3.4x cheaper leaves), ordered "
+                "traversal, SAH cluster tree, live-lane compaction; still "
+                "~5700x from the 2.0 north star — bounce/shadow visit "
+                "counts are the binding constraint (see DESIGN.md r3)"
+            ),
         },
     }
 
