@@ -109,9 +109,16 @@ class CollectiveEpochIntersector:
         # into its returned stats vector
         self._stat_log = []
 
+    def reset_stats(self):
+        """Drop any logged stat pairs.  Call at the START of a trace scope
+        (before the first intersect/occluded) so a drain can never sum
+        tracers leaked from a previous, dead trace (ADVICE r3)."""
+        self._stat_log = []
+
     def drain_stats(self):
         """Sum and clear the traced stat pairs logged by intersect/occluded
-        calls in the CURRENT trace scope.  Returns (epochs, exchanged)."""
+        calls in the CURRENT trace scope.  Returns (epochs, exchanged).
+        Pair with reset_stats() at scope entry."""
         if not self._stat_log:
             z = jnp.int32(0)
             return z, z
@@ -353,6 +360,7 @@ def make_insitu_renderer(scene, camera, cfg, mesh, axis="dev", n_domains=None,
         )
 
         def body(acc, s):
+            inter.reset_stats()
             rad, nrays = wavefront.sample_wavefront(
                 arrays, camera, cfg, inter, jnp, s, pix, with_stats=True
             )

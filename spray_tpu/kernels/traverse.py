@@ -52,11 +52,6 @@ F32 = jnp.float32
 NEG_INF = np.float32(-np.inf)
 INF = np.float32(np.inf)
 
-# count-trailing-zeros lookup for the pending-children byte (SMEM table)
-_CTZ_TABLE = np.array(
-    [0] + [(i & -i).bit_length() - 1 for i in range(1, 256)], np.int32
-)
-
 
 def _slab_all_children(bounds_ref, nid, valid_byte, ox, oy, oz, idx, idy,
                        idz, tlo, thi):
@@ -164,8 +159,11 @@ def _cluster_intersect(w_ref, cid, od32, tlo, thi, occl):
     (hh,hm,mh,hl,lh,mm,ml,lm) are laid out ALONG K: one K=32 DEFAULT pass
     (whose implicit f32->bf16 operand conversion is LOSSLESS on these
     values) with f32 accumulate = one intermediate write.  Measured
-    984ns/cluster, max rel err ~1e-7 (~f32 eps) vs HIGHEST —
-    profiling/r3_split_mm.py.
+    984ns/cluster; error vs HIGHEST is ~1e-7 relative to OPERAND scale
+    (the dropped ll cross term makes the result-relative bound
+    data-dependent under cancellation, up to ~4e-6 element-wise), which
+    keeps hit decisions at f32-eps fidelity — profiling/r3_split_mm.py
+    and the on-TPU parity gate (zero mismatches).
     """
     wmat = _stack_w32(w_ref[0, cid])
     dn = (((0,), (0,)), ((), ()))  # contract the K-dim of both
