@@ -93,6 +93,11 @@ class CollectiveEpochIntersector:
     the stacked domain arrays.
     """
 
+    # _stat_log appends traced values: intersect/occluded must stay in the
+    # same trace scope as drain_stats(), so the integrator may not move the
+    # bounce loop into a lax.scan body around this intersector.
+    unrolled_only = True
+
     def __init__(self, local_domains, aabb_lo, aabb_hi, owner_of_domain,
                  axis, n_devices, bucket, leaf_size, max_epochs=64):
         self.local_domains = local_domains  # dict of (Dl, ...) local arrays

@@ -40,10 +40,11 @@ def _packet_domain_order(aug, dom_aabb):
     domain.  Computed as a scan over D (D is small) so the (D, P, PACKET)
     slab intermediate never materializes.
     """
-    o = aug[:, 0:3, 0:PACKET]  # (P, 3, PACKET)
-    d = aug[:, 0:3, PACKET:]
-    tmin = aug[:, 4, 0:PACKET]  # (P, PACKET)
-    tmax = aug[:, 5, 0:PACKET]
+    pk = aug.shape[2] // 2
+    o = aug[:, 0:3, 0:pk]  # (P, 3, packet)
+    d = aug[:, 0:3, pk:]
+    tmin = aug[:, 4, 0:pk]  # (P, packet)
+    tmax = aug[:, 5, 0:pk]
     eps = jnp.float32(1e-12)
     inv = jnp.float32(1.0) / jnp.where(jnp.abs(d) > eps, d, eps)
 
@@ -177,9 +178,10 @@ def build_cluster_domains(scene, n_domains=None):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _scan_nearest(bounds, meta, w, tri_ids, aug, n_static, tmax, interpret):
-    """Scan domains; carry best (t, prim, u, v).  aug: (P, 16, PACKET)."""
+    """Scan domains; carry best (t, prim, u, v).  aug: (P, 6, 2*packet)."""
     p = aug.shape[0]
-    npad = p * PACKET
+    pk = aug.shape[2] // 2
+    npad = p * pk
 
     def pad_n(x, fill):
         return jnp.concatenate(
@@ -192,7 +194,7 @@ def _scan_nearest(bounds, meta, w, tri_ids, aug, n_static, tmax, interpret):
 
     def body(carry, dom):
         best_t, best_prim = carry
-        a = aug.at[:, 5, 0:PACKET].set(best_t.reshape(p, PACKET))
+        a = aug.at[:, 5, 0:pk].set(best_t.reshape(p, pk))
         t, code = _nearest_call(
             bucket_dom, dom["bounds"][None], dom["meta"][None],
             dom["w"][None], a, interpret,
@@ -236,7 +238,8 @@ def _routed_nearest(bounds, meta, w, tri_ids, dom_aabb, aug, tmax, interpret):
     vectorized form of the reference's 'all closer domains processed' commit
     cull (SURVEY.md §3.3)."""
     p = aug.shape[0]
-    npad = p * PACKET
+    pk = aug.shape[2] // 2
+    npad = p * pk
     order, _ = _packet_domain_order(aug, dom_aabb)
     perms, invs, bdoms = _round_perms(order, bounds.shape[0])
 
@@ -249,20 +252,20 @@ def _routed_nearest(bounds, meta, w, tri_ids, dom_aabb, aug, tmax, interpret):
         best_t, best_prim = carry
         perm, inv, bdom = rin
         a = aug[perm]
-        bt = best_t.reshape(p, PACKET)[perm]
+        bt = best_t.reshape(p, pk)[perm]
         live = (bdom >= 0)[:, None]
-        a = a.at[:, 5, 0:PACKET].set(jnp.where(live, bt, jnp.float32(0.0)))
+        a = a.at[:, 5, 0:pk].set(jnp.where(live, bt, jnp.float32(0.0)))
         t, code = _nearest_call(
             jnp.maximum(bdom, 0), bounds, meta, w, a, interpret
         )
-        dom_ray = jnp.repeat(jnp.maximum(bdom, 0), PACKET)
+        dom_ray = jnp.repeat(jnp.maximum(bdom, 0), pk)
         t, code = t.reshape(-1), code.reshape(-1)
         prim = jnp.where(
             code >= 0, tri_ids[dom_ray, jnp.maximum(code, 0)], -1
         )
 
         def unp(x):
-            return x.reshape(p, PACKET)[inv].reshape(-1)
+            return x.reshape(p, pk)[inv].reshape(-1)
 
         t, prim = unp(t), unp(prim)
         upd = (prim >= 0) & (t < best_t)
@@ -282,22 +285,23 @@ def _routed_nearest(bounds, meta, w, tri_ids, dom_aabb, aug, tmax, interpret):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _routed_anyhit(bounds, meta, w, dom_aabb, aug, interpret):
     p = aug.shape[0]
-    npad = p * PACKET
+    pk = aug.shape[2] // 2
+    npad = p * pk
     order, _ = _packet_domain_order(aug, dom_aabb)
     perms, invs, bdoms = _round_perms(order, bounds.shape[0])
 
     def body(occ, rin):
         perm, inv, bdom = rin
         a = aug[perm]
-        occ_p = occ.reshape(p, PACKET)[perm]
+        occ_p = occ.reshape(p, pk)[perm]
         live = (bdom >= 0)[:, None] & (occ_p == 0)
-        a = a.at[:, 5, 0:PACKET].set(
-            jnp.where(live, a[:, 5, 0:PACKET], jnp.float32(0.0))
+        a = a.at[:, 5, 0:pk].set(
+            jnp.where(live, a[:, 5, 0:pk], jnp.float32(0.0))
         )
         o = _anyhit_call(
             jnp.maximum(bdom, 0), bounds, meta, w, a, interpret
         )
-        o = o.reshape(p, PACKET)[inv].reshape(-1)
+        o = o.reshape(p, pk)[inv].reshape(-1)
         return occ | o, None
 
     occ, _ = jax.lax.scan(
@@ -309,16 +313,17 @@ def _routed_anyhit(bounds, meta, w, dom_aabb, aug, interpret):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _scan_anyhit(bounds, meta, w, aug, interpret):
     p = aug.shape[0]
-    npad = p * PACKET
+    pk = aug.shape[2] // 2
+    npad = p * pk
 
     bucket_dom = jnp.zeros(p, jnp.int32)
 
     def body(occ, dom):
-        a = aug.at[:, 5, 0:PACKET].set(
+        a = aug.at[:, 5, 0:pk].set(
             jnp.where(
                 occ != 0, jnp.float32(0.0),
-                aug[:, 5, 0:PACKET].reshape(-1),
-            ).reshape(p, PACKET)
+                aug[:, 5, 0:pk].reshape(-1),
+            ).reshape(p, pk)
         )
         o = _anyhit_call(
             bucket_dom, dom["bounds"][None], dom["meta"][None],
@@ -335,7 +340,7 @@ def _scan_anyhit(bounds, meta, w, aug, interpret):
 
 @register_intersector_pytree(
     leaves=("bounds", "meta", "w", "tri_ids", "dom_aabb", "v0", "e1", "e2"),
-    aux=("n_domains", "interpret", "routed"),
+    aux=("n_domains", "interpret", "routed", "packet"),
 )
 class MultiDomainClusterIntersector:
     """Drop-in intersector: D per-domain Pallas cluster BVHs, min-combined.
@@ -346,8 +351,10 @@ class MultiDomainClusterIntersector:
     packet (the dense-speculation form; kept as the correctness cross-check).
     """
 
-    def __init__(self, scene, n_domains=None, interpret=None, routed=True):
+    def __init__(self, scene, n_domains=None, interpret=None, routed=True,
+                 packet=PACKET):
         self.routed = routed
+        self.packet = packet
         st = build_cluster_domains(scene, n_domains)
         self.dom_aabb = jnp.asarray(st["aabb"])
         self.n_domains = st["bounds"].shape[0]
@@ -364,7 +371,7 @@ class MultiDomainClusterIntersector:
         n = o.shape[0]
         perm, inv = _live_partition(tmax, d)
         o_, d_, tmin_, tmax_ = o[perm], d[perm], tmin[perm], tmax[perm]
-        aug, _ = _rays_to_aug(o_, d_, tmin_, tmax_)
+        aug, _ = _rays_to_aug(o_, d_, tmin_, tmax_, self.packet)
         if self.routed:
             bt, bp = _routed_nearest(
                 self.bounds, self.meta, self.w, self.tri_ids,
@@ -388,7 +395,7 @@ class MultiDomainClusterIntersector:
         n = o.shape[0]
         tmin = jnp.zeros_like(tmax)
         perm, inv = _live_partition(tmax, d)
-        aug, _ = _rays_to_aug(o[perm], d[perm], tmin, tmax[perm])
+        aug, _ = _rays_to_aug(o[perm], d[perm], tmin, tmax[perm], self.packet)
         if self.routed:
             occ = _routed_anyhit(
                 self.bounds, self.meta, self.w, self.dom_aabb, aug,

@@ -46,7 +46,10 @@ from ..core.types import Hits
 from . import common
 from .cluster_bvh import CLUSTER, ClusterBVH, build_cluster_bvh
 
-PACKET = 512  # rays per grid program
+PACKET = 512  # default rays per grid program (lane dim; multiple of 128).
+# Narrower packets trade fixed per-visit cost for less union-frustum waste on
+# incoherent (bounce/NEE) wavefronts — the kernels below derive the width from
+# the ray-block shape, so any multiple of 128 works per call site.
 MAX_STACK = 192
 F32 = jnp.float32
 NEG_INF = np.float32(-np.inf)
@@ -165,14 +168,15 @@ def _cluster_intersect(w_ref, cid, od32, tlo, thi, occl):
     keeps hit decisions at f32-eps fidelity — profiling/r3_split_mm.py
     and the on-TPU parity gate (zero mismatches).
     """
+    packet = od32.shape[1] // 2
     wmat = _stack_w32(w_ref[0, cid])
     dn = (((0,), (0,)), ((), ()))  # contract the K-dim of both
     odp = jax.lax.dot_general(
         wmat, od32, dn, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.DEFAULT,
-    )  # (3C, 2*PACKET)
-    op = odp[:, 0:PACKET]
-    dp = odp[:, PACKET : 2 * PACKET]
+    )  # (3C, 2*packet)
+    op = odp[:, 0:packet]
+    dp = odp[:, packet : 2 * packet]
     c = CLUSTER
     ou, ov, ow = op[0:c], op[c : 2 * c], op[2 * c : 3 * c]
     du, dv, dw = dp[0:c], dp[c : 2 * c], dp[2 * c : 3 * c]
@@ -191,12 +195,12 @@ def _cluster_intersect(w_ref, cid, od32, tlo, thi, occl):
 
 
 def _ray_rows(rays_ref):
-    r = rays_ref[0]  # (6, 2*PACKET): rows [ox|dx],[oy|dy],[oz|dz],[1|0],
+    r = rays_ref[0]  # (6, 2*packet): rows [ox|dx],[oy|dy],[oz|dz],[1|0],
     #                                      [tmin|.],[tmax|.]
     # K-stacked bf16 split of [o_aug | d_aug], built ONCE per packet program
     # and reused by every leaf visit (see _cluster_intersect)
-    od8 = _stack_od32(r[0:4])  # (32, 2*PACKET) bf16
-    p = PACKET
+    od8 = _stack_od32(r[0:4])  # (32, 2*packet) f32 (bf16-exact values)
+    p = r.shape[1] // 2
     ox, oy, oz = r[0:1, 0:p], r[1:2, 0:p], r[2:3, 0:p]
     dx, dy, dz = r[0:1, p:], r[1:2, p:], r[2:3, p:]
     tmin = r[4:5, 0:p]
@@ -231,7 +235,8 @@ def _nearest_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
     # index maps (which domain's BVH is DMA'd for this program).
     # meta_ref: (1, 1, Nn*8) flat; valid_ref: (1, 1, Nn) — see _domain_specs.
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
-    row = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, PACKET), 0)
+    packet = rays_ref.shape[2] // 2
+    row = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, packet), 0)
 
     w0 = _slab_all_children(
         bounds_ref, 0, valid_ref[0, 0, 0], ox, oy, oz, idx, idy, idz,
@@ -288,7 +293,7 @@ def _nearest_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
     init = (
         sp0,
         tmax,
-        jnp.full((1, PACKET), -1, jnp.int32),
+        jnp.full((1, packet), -1, jnp.int32),
     )
     _, best_t, best_code = jax.lax.while_loop(cond, body, init)
     out_t[0] = best_t
@@ -298,6 +303,7 @@ def _nearest_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
 def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
                    rays_ref, out_occ, nid_ref, pc_ref):
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
+    packet = rays_ref.shape[2] // 2
 
     w0 = _slab_all_children(
         bounds_ref, 0, valid_ref[0, 0, 0], ox, oy, oz, idx, idy, idz,
@@ -342,13 +348,13 @@ def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
 
         return jax.lax.cond(kind >= 0, internal_case, leaf_case, (sp, occ))
 
-    init = (sp0, jnp.zeros((1, PACKET), jnp.int32))
+    init = (sp0, jnp.zeros((1, packet), jnp.int32))
     _, occ = jax.lax.while_loop(cond, body, init)
     out_occ[0] = occ
 
 
-def _rays_to_aug(o, d, tmin, tmax):
-    """(N,...) rays -> (P, 6, 2*PACKET) blocks + count.
+def _rays_to_aug(o, d, tmin, tmax, packet=PACKET):
+    """(N,...) rays -> (P, 6, 2*packet) blocks + count.
 
     Rows: [ox|dx], [oy|dy], [oz|dz], [1|0], [tmin|0], [tmax|0] — the first
     four rows ARE the fused (4, 2*PACKET) matmul operand; the traversal reads
@@ -356,18 +362,18 @@ def _rays_to_aug(o, d, tmin, tmax):
     throughout (see module docstring).
     """
     n = o.shape[0]
-    npad = common.round_up(max(n, PACKET), PACKET)
+    npad = common.round_up(max(n, packet), packet)
     o = common.pad_to(o, npad)
     d = common.pad_to(d, npad, value=1.0)
     tmin = common.pad_to(tmin, npad, value=1.0)
     tmax = common.pad_to(tmax, npad, value=0.0)  # empty window: never hits
-    p_ = npad // PACKET
-    ob = o.reshape(p_, PACKET, 3).transpose(0, 2, 1)  # (P, 3, PACKET)
-    db = d.reshape(p_, PACKET, 3).transpose(0, 2, 1)
-    tminb = tmin.reshape(p_, 1, PACKET)
-    tmaxb = tmax.reshape(p_, 1, PACKET)
-    ones = jnp.ones((p_, 1, PACKET), F32)
-    zeros = jnp.zeros((p_, 1, PACKET), F32)
+    p_ = npad // packet
+    ob = o.reshape(p_, packet, 3).transpose(0, 2, 1)  # (P, 3, packet)
+    db = d.reshape(p_, packet, 3).transpose(0, 2, 1)
+    tminb = tmin.reshape(p_, 1, packet)
+    tmaxb = tmax.reshape(p_, 1, packet)
+    ones = jnp.ones((p_, 1, packet), F32)
+    zeros = jnp.zeros((p_, 1, packet), F32)
     left = jnp.concatenate([ob, ones, tminb, tmaxb], axis=1)  # (P, 6, PACKET)
     right = jnp.concatenate([db, zeros, zeros, zeros], axis=1)
     aug = jnp.concatenate([left, right], axis=2)  # (P, 6, 2*PACKET)
@@ -389,7 +395,7 @@ def _valid_bytes(meta):
     return jnp.sum(bits * weights, axis=-1)[:, None, :]  # (D, 1, Nn)
 
 
-def _domain_specs(bounds, meta, valid_cols, w):
+def _domain_specs(bounds, meta, valid_cols, w, packet=PACKET):
     """BlockSpecs that DMA ONE domain's BVH per grid step, selected by the
     scalar-prefetched bucket->domain map (MoE-router style).  Consecutive
     buckets with the same domain re-use the resident block (no re-DMA), so a
@@ -422,7 +428,7 @@ def _domain_specs(bounds, meta, valid_cols, w):
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 6, 2 * PACKET), lambda b, dref: (b, 0, 0),
+            (1, 6, 2 * packet), lambda b, dref: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -440,20 +446,21 @@ def _stack_scratch():
 def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     """bounds (D,Nn,8,6), meta (D,Nn,8), w (D,Nc,4,3C), bucket_dom (P,) i32:
     packet i traverses domain bucket_dom[i] (D=1 single-domain: zeros).
-    Returns (t, code) each (P, 1, PACKET); code = cluster*CLUSTER + row."""
+    Returns (t, code) each (P, 1, packet); code = cluster*CLUSTER + row."""
     p = rays_aug.shape[0]
+    packet = rays_aug.shape[2] // 2
     valid = _valid_bytes(meta)
     meta_flat = meta.reshape(meta.shape[0], 1, -1)
     out_spec = pl.BlockSpec(
-        (1, 1, PACKET), lambda b, dref: (b, 0, 0),
+        (1, 1, packet), lambda b, dref: (b, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    oshape = jax.ShapeDtypeStruct((p, 1, PACKET), jnp.float32)
-    oishape = jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32)
+    oshape = jax.ShapeDtypeStruct((p, 1, packet), jnp.float32)
+    oishape = jax.ShapeDtypeStruct((p, 1, packet), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(p,),
-        in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w),
+        in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w, packet),
         out_specs=[out_spec] * 2,
         scratch_shapes=_stack_scratch(),
     )
@@ -468,23 +475,24 @@ def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
     p = rays_aug.shape[0]
+    packet = rays_aug.shape[2] // 2
     valid = _valid_bytes(meta)
     meta_flat = meta.reshape(meta.shape[0], 1, -1)
     out_spec = pl.BlockSpec(
-        (1, 1, PACKET), lambda b, dref: (b, 0, 0),
+        (1, 1, packet), lambda b, dref: (b, 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(p,),
-        in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w),
+        in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w, packet),
         out_specs=out_spec,
         scratch_shapes=_stack_scratch(),
     )
     return pl.pallas_call(
         _anyhit_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p, 1, PACKET), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((p, 1, packet), jnp.int32),
         interpret=interpret,
     )(bucket_dom, bounds, meta_flat, valid, w, rays_aug)
 

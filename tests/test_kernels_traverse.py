@@ -86,3 +86,29 @@ def test_multidomain_cluster_matches_brute(routed):
     occ_r = np.asarray(ref.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
     occ_m = np.asarray(mk.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
     np.testing.assert_array_equal(occ_r, occ_m)
+
+
+@pytest.mark.parametrize("packet", [128, 256], ids=["p128", "p256"])
+def test_multidomain_cluster_narrow_packets(packet):
+    """Narrow-packet kernels (r4 incoherent-wavefront lever) produce the
+    same hits as the default 512-lane width — width only changes union
+    economics, never results."""
+    from spray_tpu.kernels.multidomain import MultiDomainClusterIntersector
+
+    scene = wisp_cloud(n_blobs=8, tris_per_blob=80, extent=4.0)
+    n = 700  # not a multiple of any width (tests padding)
+    o, d = _rand_rays(scene, n, 7)
+    tmin = jnp.zeros(n, jnp.float32)
+    tmax = jnp.full(n, np.inf, jnp.float32)
+    wide = MultiDomainClusterIntersector(scene, n_domains=6)
+    slim = MultiDomainClusterIntersector(scene, n_domains=6, packet=packet)
+    hw = wide.intersect(o, d, tmin, tmax)
+    hs = slim.intersect(o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(hw.valid), np.asarray(hs.valid))
+    np.testing.assert_array_equal(np.asarray(hw.prim), np.asarray(hs.prim))
+    np.testing.assert_allclose(
+        np.asarray(hw.t), np.asarray(hs.t), rtol=1e-6, atol=1e-6
+    )
+    occ_w = np.asarray(wide.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
+    occ_s = np.asarray(slim.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
+    np.testing.assert_array_equal(occ_w, occ_s)
