@@ -82,16 +82,27 @@ class DetachedIntersector:
         )
 
 
-def diff_scene_arrays(scene, params):
+def diff_scene_arrays(scene, params, consts=None):
     """Shading arrays from differentiable params {'vertices','albedo','emission'}.
 
     Normals are recomputed in jnp from the live vertices so vertex gradients
     flow through shading normals too.
+
+    consts: optional dict {'faces','emission',...} of scene arrays passed
+    through the caller's jit AS ARGUMENTS.  Without it the closure falls back
+    to inlining them as HLO constants — at bench scale (2.6M faces) those two
+    constants alone were 126 MB of StableHLO text and ~200s of the 311s cold
+    'compile' was just SERIALIZING them (measured r4).
     """
+    consts = consts or {}
     vertices = params.get("vertices", jnp.asarray(scene.vertices))
-    faces = jnp.asarray(scene.faces)
+    faces = consts.get("faces")
+    if faces is None:
+        faces = jnp.asarray(scene.faces)
     albedo = params.get("albedo", jnp.asarray(scene.albedo))
-    emission = params.get("emission", jnp.asarray(scene.emission))
+    emission = params.get("emission", consts.get("emission"))
+    if emission is None:
+        emission = jnp.asarray(scene.emission)
     normals = geom.face_normals(vertices, faces, jnp)
     lids = wavefront.light_ids_static(scene)
     return {
@@ -125,19 +136,30 @@ def make_diff_render_fn(scene, camera, cfg, make_intersector=None,
     from ..kernels.common import tile_swizzle_order  # noqa: PLC0415
 
     pixel_ids = jnp.asarray(tile_swizzle_order(camera.width, camera.height))
+    # Large non-differentiable scene arrays, for jitted callers to pass as
+    # ARGUMENTS (see diff_scene_arrays: inlined, they dominate cold compile)
+    const_pack = {
+        "faces": jnp.asarray(scene.faces),
+        "emission": jnp.asarray(scene.emission),
+        "pixel_ids": pixel_ids,
+    }
 
-    def render(params, isect=None):
+    def render(params, isect=None, consts=None):
         # isect: pass the base intersector (a registered pytree) through the
         # CALLER's jit as an argument — a jitted caller that lets this default
         # close over base_intersector bakes its BVH in as re-streamed HLO
-        # constants (~80x slower; see core/pytree.py).  Eager callers may omit.
+        # constants (~80x slower; see core/pytree.py).  Same for consts
+        # (render.consts): eager callers may omit both.
         if isect is None:
             isect = base_intersector
-        arrays, vertices, faces = diff_scene_arrays(scene, params)
+        if consts is None:
+            consts = const_pack
+        arrays, vertices, faces = diff_scene_arrays(scene, params, consts)
         intersector = DetachedIntersector(isect, vertices, faces)
+        pids = consts.get("pixel_ids", pixel_ids)
 
         if spp_batch:
-            pix = jnp.repeat(pixel_ids, cfg.spp)
+            pix = jnp.repeat(pids, cfg.spp)
             smp = jnp.tile(jnp.arange(cfg.spp, dtype=jnp.uint32), npix)
             rad, nrays = wavefront.sample_wavefront(
                 arrays, camera, cfg, intersector, jnp, smp, pix,
@@ -148,7 +170,7 @@ def make_diff_render_fn(scene, camera, cfg, make_intersector=None,
             def body(carry, s):
                 a, nr = carry
                 rad, n = wavefront.sample_wavefront(
-                    arrays, camera, cfg, intersector, jnp, s, pixel_ids,
+                    arrays, camera, cfg, intersector, jnp, s, pids,
                     with_stats=True,
                 )
                 return (a + rad, nr + n), None
@@ -159,11 +181,12 @@ def make_diff_render_fn(scene, camera, cfg, make_intersector=None,
                  jnp.zeros((), jnp.float32)),
                 jnp.arange(cfg.spp, dtype=jnp.uint32),
             )
-            acc = jnp.zeros((npix, 3), jnp.float32).at[pixel_ids].set(acc)
+            acc = jnp.zeros((npix, 3), jnp.float32).at[pids].set(acc)
         img = (acc / cfg.spp).reshape(camera.height, camera.width, 3)
         return (img, nrays) if with_stats else img
 
     render.base_intersector = base_intersector
+    render.consts = const_pack
     return render
 
 

@@ -49,12 +49,15 @@ def make_render_fn(scene, camera, cfg, intersector=None, donate=False,
     # The intersector is a registered pytree passed as a jit ARGUMENT: closing
     # over it would bake its BVH arrays in as HLO constants that XLA re-streams
     # to the kernel every execution (~80x slower frames; see core/pytree.py).
+    # pixel_ids is passed as a jit ARGUMENT: closed over, a 512^2*u32 order
+    # array lowers to megabytes of inline HLO constant text (r4: constant
+    # serialization, not XLA, dominated cold compile)
     @functools.partial(jax.jit, static_argnames=("spp",))
-    def render(scene_arrays, isect, spp):
+    def render(scene_arrays, isect, pids, spp):
         def body(carry, s):
             acc, nr = carry
             rad, n = wavefront.sample_wavefront(
-                scene_arrays, camera, cfg, isect, jnp, s, pixel_ids,
+                scene_arrays, camera, cfg, isect, jnp, s, pids,
                 with_stats=True,
             )
             return (acc + rad, nr + n), None
@@ -64,13 +67,13 @@ def make_render_fn(scene, camera, cfg, intersector=None, donate=False,
             (jnp.zeros((npix, 3), jnp.float32), jnp.zeros((), jnp.float32)),
             jnp.arange(spp, dtype=jnp.uint32),
         )
-        img = jnp.zeros((npix, 3), jnp.float32).at[pixel_ids].set(acc)
+        img = jnp.zeros((npix, 3), jnp.float32).at[pids].set(acc)
         img = img * jnp.float32(1.0 / spp)
         return img.reshape(camera.height, camera.width, 3), nrays
 
     @functools.partial(jax.jit, static_argnames=("spp",))
-    def render_batched(scene_arrays, isect, spp):
-        pix = jnp.repeat(pixel_ids, spp)
+    def render_batched(scene_arrays, isect, pids, spp):
+        pix = jnp.repeat(pids, spp)
         smp = jnp.tile(jnp.arange(spp, dtype=jnp.uint32), npix)
         rad, nrays = wavefront.sample_wavefront(
             scene_arrays, camera, cfg, isect, jnp, smp, pix, with_stats=True,
@@ -81,8 +84,10 @@ def make_render_fn(scene, camera, cfg, intersector=None, donate=False,
 
     fn = render_batched if spp_batch else render
     if with_stats:
-        return lambda scene_arrays: fn(scene_arrays, intersector, cfg.spp)
-    return lambda scene_arrays: fn(scene_arrays, intersector, cfg.spp)[0]
+        return lambda scene_arrays: fn(scene_arrays, intersector, pixel_ids,
+                                       cfg.spp)
+    return lambda scene_arrays: fn(scene_arrays, intersector, pixel_ids,
+                                   cfg.spp)[0]
 
 
 def render_device(scene, camera, cfg, intersector=None):

@@ -273,7 +273,7 @@ def _nearest_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
             tm = _cluster_intersect(
                 w_ref, cid, od8, tmin, jnp.minimum(tmax, best_t), occl=False
             )
-            trow = jnp.min(tm, axis=0, keepdims=True)  # (1, PACKET)
+            trow = jnp.min(tm, axis=0, keepdims=True)  # (1, packet)
             improved = trow < best_t
             jsel = jnp.min(
                 jnp.where(tm == trow, row, jnp.int32(CLUSTER)),

@@ -106,11 +106,14 @@ def make_pipeline(scene, camera, cfg: RenderConfig, backward=False,
     )
     w = jnp.asarray([0.4, 0.8, 1.3], jnp.float32)
 
-    # intersector passed through jit as a pytree argument (core/pytree.py)
+    # intersector AND the big non-differentiable scene arrays (faces,
+    # emission, pixel order) pass through jit as ARGUMENTS — closed over,
+    # they lower to giant HLO constants whose serialization alone was ~200s
+    # of the cold compile at bench scale (r4 measurement)
     @jax.jit
-    def step(params, isect):
+    def step(params, isect, consts):
         def loss(p):
-            img, nrays = render_fn(p, isect)
+            img, nrays = render_fn(p, isect, consts)
             return jnp.mean(img * w), nrays
 
         (val, nrays), grads = jax.value_and_grad(loss, has_aux=True)(params)
@@ -120,4 +123,6 @@ def make_pipeline(scene, camera, cfg: RenderConfig, backward=False,
         "vertices": jnp.asarray(scene.vertices),
         "albedo": jnp.asarray(scene.albedo),
     }
-    return Pipeline(step, (params, intersector), _stats_index=2)
+    return Pipeline(
+        step, (params, intersector, render_fn.consts), _stats_index=2
+    )
