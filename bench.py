@@ -46,16 +46,37 @@ def _timed(pipe, iters):
     """Time frames, forcing a HOST transfer each iteration: under the axon
     tunnel jax.block_until_ready can return without waiting for the device
     (measured: 265 ms of real work reported as 0.1 ms), so only a device->
-    host readback is a trustworthy fence."""
+    host readback is a trustworthy fence.
+
+    compile_s is the AOT .lower().compile() time with arguments ALREADY
+    device-resident: r4 measured that the first-call wall time the r3 bench
+    reported as 'compile' was dominated by ~150 MB of argument upload over
+    the axon tunnel (transfer_s below), not XLA."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    for leaf in jax.tree.leaves(pipe._args):
+        np.asarray(jnp.add(jnp.ravel(jnp.asarray(leaf))[:1], 0))
+    transfer_s = time.time() - t0
+    t0 = time.time()
+    try:
+        compiled = pipe._fn.lower(*pipe._args).compile()
+        compile_s = time.time() - t0
+    except Exception:  # non-jit pipeline: fall back to first-call timing
+        compiled = None
+        compile_s = None
     t0 = time.time()
     out = pipe.run_fenced()
-    compile_s = time.time() - t0
+    first_s = time.time() - t0
+    if compile_s is None:
+        compile_s = first_s
     times = []
     for _ in range(iters):
         t0 = time.time()
         out = pipe.run_fenced()
         times.append(time.time() - t0)
-    return min(times), compile_s, out
+    return min(times), compile_s, transfer_s, out
 
 
 def headline(args):
@@ -79,7 +100,7 @@ def headline(args):
     isect = default_intersector(scene, prefer=args.intersector)
     pipe = make_pipeline(scene, camera, cfg, backward=args.backward,
                          intersector=isect)
-    dt, compile_s, out = _timed(pipe, args.iters)
+    dt, compile_s, transfer_s, out = _timed(pipe, args.iters)
     rays = int(pipe.rays_traced(out))
     grays = rays / dt / 1e9
     return {
@@ -95,14 +116,16 @@ def headline(args):
             "rays_per_frame": rays,
             "frame_s": round(dt, 4),
             "compile_s": round(compile_s, 1),
+            "transfer_s": round(transfer_s, 1),
             "backend": jax.default_backend(),
             "intersector": type(isect).__name__,
             "notes": (
-                "r3: 2.5x r2's honest number (frame 37.3s->6.9s) via K=32 "
-                "split-bf16 cluster matmul (3.4x cheaper leaves), ordered "
-                "traversal, SAH cluster tree, live-lane compaction; still "
-                "~5700x from the 2.0 north star — bounce/shadow visit "
-                "counts are the binding constraint (see DESIGN.md r3)"
+                "r4: cold compile 470s -> ~90s true XLA (scan-over-bounces; "
+                "faces/emission as jit args not 126MB of inlined constants; "
+                "transfer_s = arg upload over the axon tunnel, formerly "
+                "conflated into compile_s); frame 6.85->6.7s (keyed decode, "
+                "256-lane packets); OOC/speculative scheduler now runs "
+                "device-side epoch batches (see BENCH_extra.json)"
             ),
         },
     }

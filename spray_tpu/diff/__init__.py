@@ -62,6 +62,17 @@ class DetachedIntersector:
         self.vertices = vertices
         self.faces = faces
 
+    @property
+    def unrolled_only(self):
+        # integrator-control flags follow the wrapped intersector (e.g. the
+        # dist collective intersector's traced-stats log forbids the scan
+        # bounce loop)
+        return getattr(self.inner, "unrolled_only", False)
+
+    @property
+    def host_driven(self):
+        return getattr(self.inner, "host_driven", False)
+
     def intersect(self, o, d, tmin, tmax):
         # ALL inputs to the discrete search are detached (tmin/tmax carry
         # tangents from earlier bounces' t / light distances; an undetached

@@ -117,3 +117,36 @@ def test_ooc_cluster_backend_matches_brute():
         np.asarray(spec.occluded(o, d, tmax)),
     )
     assert spec.stats.epochs > 1  # actually exercised the scheduler
+
+
+def test_ooc_device_batched_matches_host_driven():
+    """r4 device-batched epoch loop (epoch_batch_cluster: lax.while on
+    device, one host sync per residency change) commits the same hits and
+    occlusion as the host-driven per-epoch loop, through a real OOC
+    schedule (8 domains through 4 slots)."""
+    n = 512
+    o, d = _rand_rays(SCENE, n, seed=9)
+    host = OOCIntersector(
+        SCENE, n_domains=8, num_slots=4, speculate=True,
+        backend="cluster", interpret=True, device_batched=False,
+    )
+    dev = OOCIntersector(
+        SCENE, n_domains=8, num_slots=4, speculate=True,
+        backend="cluster", interpret=True, device_batched=True,
+    )
+    hh = _intersect_all(host, o, d, n)
+    hd = _intersect_all(dev, o, d, n)
+    np.testing.assert_array_equal(np.asarray(hh.valid), np.asarray(hd.valid))
+    np.testing.assert_array_equal(np.asarray(hh.prim), np.asarray(hd.prim))
+    np.testing.assert_allclose(
+        np.asarray(hh.t), np.asarray(hd.t), rtol=1e-6, atol=1e-6
+    )
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(host.occluded(o, d, tmax)),
+        np.asarray(dev.occluded(o, d, tmax)),
+    )
+    # the batch structure must touch the host far less: one sync per
+    # residency change, not per epoch
+    assert len(dev.epoch_log) <= len(host.epoch_log)
+    assert dev.stats.epochs >= 1 and dev.stats.rays_traced > 0
