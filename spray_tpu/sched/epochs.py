@@ -492,8 +492,58 @@ class OOCIntersector:
         # epoch with queue sizes, schedule, residency and work counters —
         # the reference's per-rank stdout stats, queryable instead
         self.epoch_log = []
+        # r4 all-resident fast path: every domain fits the slots, so the
+        # whole trace is ONE device batch with ZERO per-epoch host syncs —
+        # slots stack once here, and _run_epochs skips the schedule loop
+        # (the warm batched loop was tunnel-RTT-bound: 0.06s counts readback
+        # + 0.03s restack + 0.06s batch per call, measured r4)
+        d_actual = int(self.dset.aabb_lo.shape[0])
+        self.all_resident = (
+            self.device_batched and d_actual <= self.sched_width
+        )
+        if self.all_resident:
+            ids = list(range(d_actual))
+            slots = list(self.residency.acquire(ids))
+            slot_ids = jnp.asarray(
+                ids + [-1] * (self.sched_width - len(ids)), jnp.int32
+            )
+            slots = tuple(slots) + tuple(
+                slots[0] for _ in range(self.sched_width - len(slots))
+            )
+            self._stacked_all = {
+                key: jnp.stack([sl[key] for sl in slots])
+                for key in ("bounds", "meta", "w", "tri_ids")
+            }
+            self._stacked_all["id"] = slot_ids
 
-    def _run_epochs_batched(self, state):
+    def _run_epochs_all_resident(self, state, any_hit):
+        """All domains resident: the entire trace is one device batch."""
+        state, epochs, traced, spec = epoch_batch_cluster(
+            state, self._stacked_all, self.speculate, self.interpret,
+            self.max_epochs, any_hit=any_hit,
+        )
+        epochs = int(epochs)
+        if epochs >= self.max_epochs:
+            raise RuntimeError("epoch loop failed to converge (max_epochs)")
+        self.stats.epochs += epochs
+        self.stats.rays_traced += int(traced)
+        self.stats.rays_speculated += int(spec)
+        self.epoch_log.append({
+            "epoch": self.stats.epochs,
+            "scheduled": list(range(self._stacked_all["bounds"].shape[0])),
+            "batch_epochs": epochs,
+            "traced": int(traced),
+            "speculated": int(spec),
+            "loads": self.residency.loads,
+            "hits": self.residency.hits,
+            "prefetches": self.residency.prefetches,
+        })
+        self.stats.domain_loads = self.residency.loads
+        self.stats.cache_hits = self.residency.hits
+        self.stats.prefetches = self.residency.prefetches
+        return state
+
+    def _run_epochs_batched(self, state, any_hit=False):
         """Device-batched epoch loop: ONE host round-trip per residency
         change (VERDICT r3 next#5).  Per batch: read queue counts (single
         readback), schedule + upload the top-K domains, prefetch the
@@ -536,7 +586,7 @@ class OOCIntersector:
             stacked["id"] = slot_ids
             state, epochs, traced, spec = epoch_batch_cluster(
                 state, stacked, self.speculate, self.interpret,
-                self.max_epochs,
+                self.max_epochs, any_hit=any_hit,
             )
             epochs = int(epochs)
             if epochs == 0:
@@ -566,9 +616,11 @@ class OOCIntersector:
         self.stats.prefetches = self.residency.prefetches
         return state
 
-    def _run_epochs(self, state):
+    def _run_epochs(self, state, any_hit=False):
+        if self.all_resident:
+            return self._run_epochs_all_resident(state, any_hit)
         if self.device_batched:
-            return self._run_epochs_batched(state)
+            return self._run_epochs_batched(state, any_hit)
         k = self.sched_width
         k_sched = k
         for _ in range(self.max_epochs):
@@ -661,5 +713,5 @@ class OOCIntersector:
     def occluded(self, o, d, tmax):
         tmin = jnp.zeros_like(tmax)
         state = init_state(self.dset, o, d, tmin, tmax, occ_mode=True)
-        state = self._run_epochs(state)
+        state = self._run_epochs(state, any_hit=True)
         return state.found
