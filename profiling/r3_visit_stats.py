@@ -73,19 +73,20 @@ def _nearest_kernel_counting(dom_ref, bounds_ref, meta_ref,
         def leaf_case(ops):
             sp, best_t, best_code, n_int, n_leaf = ops
             cid = -(kind + 2)
-            tm = _cluster_intersect(
-                w_ref, cid, od8, tmin, jnp.minimum(tmax, best_t), occl=False
+            # r4: keyed decode — one packed (t|row) int min-reduce
+            key = _cluster_intersect(
+                w_ref, cid, od8, tmin, jnp.minimum(tmax, best_t),
+                occl=False, row=row,
             )
-            trow = jnp.min(tm, axis=0, keepdims=True)
-            improved = trow < best_t
-            jsel = jnp.min(
-                jnp.where(tm == trow, row, jnp.int32(CLUSTER)),
-                axis=0, keepdims=True,
+            kmin = jnp.min(key, axis=0, keepdims=True)
+            t_up = jax.lax.bitcast_convert_type(
+                (kmin & jnp.int32(-128)) + jnp.int32(128), jnp.float32
             )
-            code = cid * CLUSTER + jsel
+            improved = t_up < best_t
+            code = cid * CLUSTER + (kmin & 127)
             return (
                 sp,
-                jnp.where(improved, trow, best_t),
+                jnp.where(improved, t_up, best_t),
                 jnp.where(improved, code, best_code),
                 n_int, n_leaf + 1,
             )

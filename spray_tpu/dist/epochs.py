@@ -103,21 +103,23 @@ def _local_trace_cluster(pages, o, d, tmin, window, any_hit, interpret):
             return x
         return jnp.concatenate([x, jnp.full(npad - n, fill, x.dtype)])
 
-    bucket0 = jnp.zeros(p, jnp.int32)
-
     def body(carry, page):
         bt, bp, found = carry
         win = jnp.where(found & jnp.bool_(any_hit), jnp.float32(0.0), bt)
-        a = aug0.at[:, 5, 0:pk].set(pad(win, 0.0).reshape(p, pk))
+        win_pk = pad(win, 0.0).reshape(p, pk)
+        a = aug0.at[:, 5, 0:pk].set(win_pk)
+        bucket = jnp.where(
+            jnp.any(win_pk > 0, axis=1), 0, -1
+        ).astype(jnp.int32)
         if any_hit:
             occ = _anyhit_call(
-                bucket0, page["bounds"][None], page["meta"][None],
+                bucket, page["bounds"][None], page["meta"][None],
                 page["w"][None], a, interpret,
             )
             f = occ.reshape(-1)[:n] != 0
             return (bt, bp, found | f), None
         t, code = _nearest_call(
-            bucket0, page["bounds"][None], page["meta"][None],
+            bucket, page["bounds"][None], page["meta"][None],
             page["w"][None], a, interpret,
         )
         t = t.reshape(-1)[:n]

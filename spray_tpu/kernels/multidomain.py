@@ -31,6 +31,15 @@ from .traverse import (
 MAX_DOMAIN_TRIS = 1 << 17  # ~131K tris ≈ 6.3 MB of cluster transforms
 
 
+def _live_buckets(win_pk, dom=None):
+    """(P, packet) windows -> (P,) bucket map with -1 for packets no lane
+    of which has a live window (the kernels skip dead programs entirely —
+    r4: dead grid-step prologues dominated incoherent wavefront calls)."""
+    any_live = jnp.any(win_pk > 0, axis=1)
+    base = jnp.zeros(win_pk.shape[0], jnp.int32) if dom is None else dom
+    return jnp.where(any_live & (base >= 0), jnp.maximum(base, 0), -1)
+
+
 def _packet_domain_order(aug, dom_aabb):
     """Per-packet front-to-back domain order (SURVEY.md §7.1 'domain-cursor').
 
@@ -190,13 +199,12 @@ def _scan_nearest(bounds, meta, w, tri_ids, aug, n_static, tmax, interpret):
 
     best_t0 = pad_n(tmax, 0.0)
 
-    bucket_dom = jnp.zeros(p, jnp.int32)
-
     def body(carry, dom):
         best_t, best_prim = carry
-        a = aug.at[:, 5, 0:pk].set(best_t.reshape(p, pk))
+        win_pk = best_t.reshape(p, pk)
+        a = aug.at[:, 5, 0:pk].set(win_pk)
         t, code = _nearest_call(
-            bucket_dom, dom["bounds"][None], dom["meta"][None],
+            _live_buckets(win_pk), dom["bounds"][None], dom["meta"][None],
             dom["w"][None], a, interpret,
         )
         t, code = t.reshape(-1), code.reshape(-1)
@@ -254,9 +262,10 @@ def _routed_nearest(bounds, meta, w, tri_ids, dom_aabb, aug, tmax, interpret):
         a = aug[perm]
         bt = best_t.reshape(p, pk)[perm]
         live = (bdom >= 0)[:, None]
-        a = a.at[:, 5, 0:pk].set(jnp.where(live, bt, jnp.float32(0.0)))
+        win_pk = jnp.where(live, bt, jnp.float32(0.0))
+        a = a.at[:, 5, 0:pk].set(win_pk)
         t, code = _nearest_call(
-            jnp.maximum(bdom, 0), bounds, meta, w, a, interpret
+            _live_buckets(win_pk, bdom), bounds, meta, w, a, interpret
         )
         dom_ray = jnp.repeat(jnp.maximum(bdom, 0), pk)
         t, code = t.reshape(-1), code.reshape(-1)
@@ -295,11 +304,10 @@ def _routed_anyhit(bounds, meta, w, dom_aabb, aug, interpret):
         a = aug[perm]
         occ_p = occ.reshape(p, pk)[perm]
         live = (bdom >= 0)[:, None] & (occ_p == 0)
-        a = a.at[:, 5, 0:pk].set(
-            jnp.where(live, a[:, 5, 0:pk], jnp.float32(0.0))
-        )
+        win_pk = jnp.where(live, a[:, 5, 0:pk], jnp.float32(0.0))
+        a = a.at[:, 5, 0:pk].set(win_pk)
         o = _anyhit_call(
-            jnp.maximum(bdom, 0), bounds, meta, w, a, interpret
+            _live_buckets(win_pk, bdom), bounds, meta, w, a, interpret
         )
         o = o.reshape(p, pk)[inv].reshape(-1)
         return occ | o, None
@@ -316,17 +324,14 @@ def _scan_anyhit(bounds, meta, w, aug, interpret):
     pk = aug.shape[2] // 2
     npad = p * pk
 
-    bucket_dom = jnp.zeros(p, jnp.int32)
-
     def body(occ, dom):
-        a = aug.at[:, 5, 0:pk].set(
-            jnp.where(
-                occ != 0, jnp.float32(0.0),
-                aug[:, 5, 0:pk].reshape(-1),
-            ).reshape(p, pk)
-        )
+        win_pk = jnp.where(
+            occ != 0, jnp.float32(0.0),
+            aug[:, 5, 0:pk].reshape(-1),
+        ).reshape(p, pk)
+        a = aug.at[:, 5, 0:pk].set(win_pk)
         o = _anyhit_call(
-            bucket_dom, dom["bounds"][None], dom["meta"][None],
+            _live_buckets(win_pk), dom["bounds"][None], dom["meta"][None],
             dom["w"][None], a, interpret,
         )
         return occ | o.reshape(-1), None

@@ -249,8 +249,28 @@ def _pop_child(nid_ref, pc_ref, sp):
 def _nearest_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
                     rays_ref, out_t, out_code, nid_ref, pc_ref):
     # dom_ref: (NB,) scalar-prefetch bucket->domain map driving the BlockSpec
-    # index maps (which domain's BVH is DMA'd for this program).
+    # index maps (which domain's BVH is DMA'd for this program).  A NEGATIVE
+    # entry marks the whole packet DEAD: the r4 frame split showed incoherent
+    # wavefronts (81K live of 1M lanes) burning >1s per call on the 21-round
+    # x thousands-of-dead-packets grid-step prologue (ray unpacking, split
+    # stacking, root slab) — dead programs now skip everything.
     # meta_ref: (1, 1, Nn*8) flat; valid_ref: (1, 1, Nn) — see _domain_specs.
+    packet = rays_ref.shape[2] // 2
+    live = dom_ref[pl.program_id(0)] >= 0
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_t[0] = jnp.zeros((1, packet), jnp.float32)
+        out_code[0] = jnp.full((1, packet), -1, jnp.int32)
+
+    @pl.when(live)
+    def _():
+        _nearest_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref,
+                      out_t, out_code, nid_ref, pc_ref)
+
+
+def _nearest_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref, out_t,
+                  out_code, nid_ref, pc_ref):
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
     packet = rays_ref.shape[2] // 2
     row = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, packet), 0)
@@ -322,6 +342,21 @@ def _nearest_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
 
 def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
                    rays_ref, out_occ, nid_ref, pc_ref):
+    packet = rays_ref.shape[2] // 2
+    live = dom_ref[pl.program_id(0)] >= 0
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        out_occ[0] = jnp.zeros((1, packet), jnp.int32)
+
+    @pl.when(live)
+    def _():
+        _anyhit_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref,
+                     out_occ, nid_ref, pc_ref)
+
+
+def _anyhit_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref, out_occ,
+                 nid_ref, pc_ref):
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
     packet = rays_ref.shape[2] // 2
 
@@ -371,6 +406,15 @@ def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
     init = (sp0, jnp.zeros((1, packet), jnp.int32))
     _, occ = jax.lax.while_loop(cond, body, init)
     out_occ[0] = occ
+
+
+def live_buckets_from_aug(aug):
+    """(P,) bucket map: 0 for packets with any live window, -1 otherwise
+    (dead programs skip the whole kernel body — see _nearest_kernel)."""
+    pk = aug.shape[2] // 2
+    return jnp.where(
+        jnp.any(aug[:, 5, 0:pk] > 0, axis=1), 0, -1
+    ).astype(jnp.int32)
 
 
 def _rays_to_aug(o, d, tmin, tmax, packet=PACKET):
@@ -576,7 +620,7 @@ class ClusterBVHIntersector:
 
     def intersect(self, o, d, tmin, tmax):
         rays_aug, n = _rays_to_aug(o, d, tmin, tmax)
-        bucket_dom = jnp.zeros(rays_aug.shape[0], jnp.int32)
+        bucket_dom = live_buckets_from_aug(rays_aug)
         t, code = _nearest_call(
             bucket_dom, self.bounds, self.meta, self.w, rays_aug,
             self.interpret,
@@ -594,7 +638,7 @@ class ClusterBVHIntersector:
     def occluded(self, o, d, tmax):
         tmin = jnp.zeros_like(tmax)
         rays_aug, n = _rays_to_aug(o, d, tmin, tmax)
-        bucket_dom = jnp.zeros(rays_aug.shape[0], jnp.int32)
+        bucket_dom = live_buckets_from_aug(rays_aug)
         occ = _anyhit_call(
             bucket_dom, self.bounds, self.meta, self.w, rays_aug,
             self.interpret,

@@ -220,9 +220,13 @@ def epoch_step_cluster(state: EpochState, slots, speculate, interpret):
 
         live = active & ~(state.occ_mode & found)
         win = jnp.where(live, best_t, jnp.float32(0.0))
-        a = aug.at[:, 5, 0:PACKET].set(pad(win, 0.0).reshape(p, PACKET))
+        win_pk = pad(win, 0.0).reshape(p, PACKET)
+        a = aug.at[:, 5, 0:PACKET].set(win_pk)
+        bucket = jnp.where(
+            jnp.any(win_pk > 0, axis=1), 0, -1
+        ).astype(jnp.int32)
         t, code = _nearest_call(
-            jnp.zeros(p, jnp.int32), slot["bounds"][None],
+            bucket, slot["bounds"][None],
             slot["meta"][None], slot["w"][None], a, interpret,
         )
         t = t.reshape(-1)[:n]
@@ -340,10 +344,14 @@ def epoch_batch_cluster(state: EpochState, slots, speculate, interpret,
 
             live = active & ~(state.occ_mode & found)
             win = jnp.where(live, best_t, jnp.float32(0.0))
-            a = aug0.at[:, 5, 0:pk].set(pad(win, 0.0).reshape(p, pk))
+            win_pk = pad(win, 0.0).reshape(p, pk)
+            a = aug0.at[:, 5, 0:pk].set(win_pk)
+            bucket = jnp.where(
+                jnp.any(win_pk > 0, axis=1), 0, -1
+            ).astype(jnp.int32)
             if any_hit:
                 occ = _anyhit_call(
-                    jnp.zeros(p, jnp.int32), slot["bounds"][None],
+                    bucket, slot["bounds"][None],
                     slot["meta"][None], slot["w"][None], a, interpret,
                 )
                 f = (occ.reshape(-1)[:n] != 0) & active
@@ -353,7 +361,7 @@ def epoch_batch_cluster(state: EpochState, slots, speculate, interpret,
                     traced, spec,
                 ), None
             t, code = _nearest_call(
-                jnp.zeros(p, jnp.int32), slot["bounds"][None],
+                bucket, slot["bounds"][None],
                 slot["meta"][None], slot["w"][None], a, interpret,
             )
             t = t.reshape(-1)[:n]
