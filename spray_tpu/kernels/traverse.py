@@ -369,8 +369,13 @@ def _anyhit_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref, out_occ,
     sp0 = (w0 != 0).astype(jnp.int32)
 
     def cond(carry):
+        # No all-lanes-occluded early exit: that check was a vector->scalar
+        # sync EVERY iteration (r4), while occluded lanes already get zero
+        # windows so a fully-occluded packet's stack drains in a few
+        # no-child pops.  The early exit only saved work in the rare
+        # all-occluded case and cost sync latency on every visit.
         sp, occ = carry
-        return (sp > 0) & (jnp.min(occ) == 0)
+        return sp > 0
 
     def body(carry):
         sp, occ = carry  # occ: (1, PACKET) int32
