@@ -52,10 +52,16 @@ def main():
     img = render()
     insitu_s = time.time() - t0
 
+    from spray_tpu.integrators.device import (
+        device_scene_arrays, make_render_fn,
+    )
+
     isect = MultiDomainClusterIntersector(scene, n_domains=8)
-    ref = render_device(scene, camera, cfg, intersector=isect)  # warm
+    arrays = device_scene_arrays(scene)
+    fn = make_render_fn(scene, camera, cfg, isect)  # build ONCE (jit cache)
+    ref = np.asarray(fn(arrays))  # warm
     t0 = time.time()
-    ref = render_device(scene, camera, cfg, intersector=isect)
+    ref = np.asarray(fn(arrays))
     direct_s = time.time() - t0
 
     diff = float(np.abs(np.asarray(img) - np.asarray(ref)).max())
