@@ -66,15 +66,26 @@ def _timed(pipe, iters):
     except Exception:  # non-jit pipeline: fall back to first-call timing
         compiled = None
         compile_s = None
+
+    def run_once():
+        # execute the AOT executable directly (jit's dispatch cache is NOT
+        # populated by .lower().compile(), so run_fenced would retrace and
+        # recompile the very program we just built)
+        if compiled is None:
+            return pipe.run_fenced()
+        out = compiled(*pipe._args)
+        np.asarray(jax.tree.leaves(out)[-1])  # host fence
+        return out
+
     t0 = time.time()
-    out = pipe.run_fenced()
+    out = run_once()
     first_s = time.time() - t0
     if compile_s is None:
         compile_s = first_s
     times = []
     for _ in range(iters):
         t0 = time.time()
-        out = pipe.run_fenced()
+        out = run_once()
         times.append(time.time() - t0)
     return min(times), compile_s, transfer_s, out
 
@@ -120,12 +131,16 @@ def headline(args):
             "backend": jax.default_backend(),
             "intersector": type(isect).__name__,
             "notes": (
-                "r4: cold compile 470s -> ~90s true XLA (scan-over-bounces; "
-                "faces/emission as jit args not 126MB of inlined constants; "
-                "transfer_s = arg upload over the axon tunnel, formerly "
-                "conflated into compile_s); frame 6.85->6.7s (keyed decode, "
-                "256-lane packets); OOC/speculative scheduler now runs "
-                "device-side epoch batches (see BENCH_extra.json)"
+                "r4: frame 6.85s -> 5.8s (keyed single-reduce leaf decode, "
+                "256-lane packets, dead-packet program skip, global-permute "
+                "domain routing, no per-visit anyhit sync); cold compile "
+                "470s -> ~93s true XLA (scan-over-bounces, faces/emission "
+                "as jit args, one packet sort instead of 21 per-round "
+                "permutes; the remaining ~73s is the backward program's "
+                "XLA compile); transfer_s = arg upload over the axon "
+                "tunnel, formerly conflated into compile_s.  Scheduler: "
+                "config-3 speculative 3.5s -> 1.5s via device-batched "
+                "epochs (BENCH_extra.json)"
             ),
         },
     }

@@ -89,7 +89,7 @@ def _local_trace_cluster(pages, o, d, tmin, window, any_hit, interpret):
     path.  pages: dict of (Dl, ...) stacked arrays {bounds, meta, w, tri_ids}
     with GLOBAL tri ids.  Returns (t, prim, found)."""
     from ..kernels.traverse import (  # noqa: PLC0415
-        _anyhit_call, _nearest_call, _rays_to_aug,
+        _anyhit_call, _nearest_call, _rays_to_aug, live_buckets,
     )
 
     n = o.shape[0]
@@ -108,9 +108,7 @@ def _local_trace_cluster(pages, o, d, tmin, window, any_hit, interpret):
         win = jnp.where(found & jnp.bool_(any_hit), jnp.float32(0.0), bt)
         win_pk = pad(win, 0.0).reshape(p, pk)
         a = aug0.at[:, 5, 0:pk].set(win_pk)
-        bucket = jnp.where(
-            jnp.any(win_pk > 0, axis=1), 0, -1
-        ).astype(jnp.int32)
+        bucket = live_buckets(win_pk)
         if any_hit:
             occ = _anyhit_call(
                 bucket, page["bounds"][None], page["meta"][None],
@@ -370,20 +368,13 @@ class CollectiveEpochIntersector:
         return s["found"]
 
 
-def make_insitu_renderer(scene, camera, cfg, mesh, axis="dev", n_domains=None,
-                         bucket=4096, leaf_size=8, max_epochs=64,
-                         backend="cluster"):
-    """Fully-distributed renderer: pixels sharded, domains sharded (in-situ),
-    epochs exchange rays over the mesh.  Returns jit'd render() -> (H,W,3).
-
-    backend="cluster" (default): each device's local trace runs the Pallas
-    cluster kernels over its sharded cluster-BVH pages — the same fast path
-    as single-chip (interpret mode on non-TPU backends).  backend="jnp"
-    keeps the vmapped jnp-BVH scan as a semantics cross-check.
-    """
-    from ..integrators import wavefront  # noqa: PLC0415
-    from ..kernels.common import tile_swizzle_order  # noqa: PLC0415
-
+def _insitu_setup(scene, mesh, axis, n_domains, leaf_size=8,
+                 backend="cluster"):
+    """Shared setup for the in-situ renderers (forward + differentiable):
+    domain partition rounded to the mesh, sharded domain pages, replicated
+    AABBs/owner map, the multiprocess-safe put(), pixel swizzle order.
+    Returns a dict of the pieces (one source of the domain/pixel layout, so
+    the forward and diff paths cannot drift)."""
     ndev = mesh.shape[axis]
     if n_domains is None:
         n_domains = max(ndev, 8)
@@ -434,20 +425,53 @@ def make_insitu_renderer(scene, camera, cfg, mesh, axis="dev", n_domains=None,
             host.shape, sharding, lambda idx: host[idx]
         )
 
-    stacked = {k: put(v, shard) for k, v in stacked.items()}
-    aabb_lo = put(host_aabb_lo, repl)
-    aabb_hi = put(host_aabb_hi, repl)
-    owner_dev = put(owner, repl)
-    tri_soa = (
-        tuple(put(np.asarray(a), repl) for a in tri_soa_host)
-        if tri_soa_host is not None else None
-    )
+    return {
+        "ndev": ndev, "n_domains": n_domains, "interpret": interpret,
+        "shard": shard, "repl": repl, "put": put,
+        "stacked": {k: put(v, shard) for k, v in stacked.items()},
+        "aabb_lo": put(host_aabb_lo, repl),
+        "aabb_hi": put(host_aabb_hi, repl),
+        "owner": put(owner, repl),
+        "tri_soa": (
+            tuple(put(np.asarray(a), repl) for a in tri_soa_host)
+            if tri_soa_host is not None else None
+        ),
+    }
+
+
+def _insitu_pixels(camera, ndev, put, shard):
+    """Tile-swizzled pixel order padded to the mesh (pads re-render pixel 0;
+    callers mask or overwrite them)."""
+    from ..kernels.common import tile_swizzle_order  # noqa: PLC0415
 
     npix = camera.width * camera.height
     order = tile_swizzle_order(camera.width, camera.height)
     pad = (-npix) % ndev
     order_padded = np.concatenate([order, np.zeros(pad, np.uint32)])
-    pixel_ids = put(order_padded, shard)
+    return npix, pad, order_padded, put(order_padded, shard)
+
+
+def make_insitu_renderer(scene, camera, cfg, mesh, axis="dev", n_domains=None,
+                         bucket=4096, leaf_size=8, max_epochs=64,
+                         backend="cluster"):
+    """Fully-distributed renderer: pixels sharded, domains sharded (in-situ),
+    epochs exchange rays over the mesh.  Returns jit'd render() -> (H,W,3).
+
+    backend="cluster" (default): each device's local trace runs the Pallas
+    cluster kernels over its sharded cluster-BVH pages — the same fast path
+    as single-chip (interpret mode on non-TPU backends).  backend="jnp"
+    keeps the vmapped jnp-BVH scan as a semantics cross-check.
+    """
+    from ..integrators import wavefront  # noqa: PLC0415
+
+    su = _insitu_setup(scene, mesh, axis, n_domains, leaf_size, backend)
+    ndev, interpret = su["ndev"], su["interpret"]
+    stacked, tri_soa = su["stacked"], su["tri_soa"]
+    aabb_lo, aabb_hi, owner_dev = su["aabb_lo"], su["aabb_hi"], su["owner"]
+    put, shard, repl = su["put"], su["shard"], su["repl"]
+    npix, pad, order_padded, pixel_ids = _insitu_pixels(
+        camera, ndev, put, shard
+    )
     scene_arrays = jax.tree.map(
         lambda a: put(a, repl), wavefront.make_scene_arrays(scene, jnp)
     )
@@ -547,44 +571,16 @@ def make_insitu_diff_fn(scene, camera, cfg, mesh, axis="dev", n_domains=None,
     comparable (tested to 1e-5 on the CPU mesh).
     """
     from ..diff import DetachedIntersector, diff_scene_arrays  # noqa: PLC0415
-    from ..kernels import common as kcommon  # noqa: PLC0415
-    from ..kernels.multidomain import build_cluster_domains  # noqa: PLC0415
-    from ..kernels.common import tile_swizzle_order  # noqa: PLC0415
     from ..integrators import wavefront  # noqa: PLC0415
 
-    ndev = mesh.shape[axis]
-    if n_domains is None:
-        n_domains = max(ndev, 8)
-    n_domains = -(-n_domains // ndev) * ndev
-    owner = np.arange(n_domains, dtype=np.int32) // (n_domains // ndev)
-    st = build_cluster_domains(scene, n_domains)
-    if st["bounds"].shape[0] != n_domains:
-        raise ValueError("partitioner dropped empty domains")
-    stacked = {
-        "bounds": st["bounds"], "meta": st["meta"], "w": st["w"],
-        "tri_ids": st["tri_ids"],
-    }
-    interpret = kcommon.use_interpret()
-
-    shard = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
-
-    def put(host, sharding):
-        host = np.asarray(host)
-        return jax.make_array_from_callback(
-            host.shape, sharding, lambda idx: host[idx]
-        )
-
-    stacked = {k: put(v, shard) for k, v in stacked.items()}
-    aabb_lo = put(st["aabb"][:, 0:3], repl)
-    aabb_hi = put(st["aabb"][:, 3:6], repl)
-    owner_dev = put(owner, repl)
-
-    npix = camera.width * camera.height
-    order = tile_swizzle_order(camera.width, camera.height)
-    pad = (-npix) % ndev
-    order_padded = np.concatenate([order, np.zeros(pad, np.uint32)])
-    pixel_ids = put(order_padded, shard)
+    su = _insitu_setup(scene, mesh, axis, n_domains, backend="cluster")
+    ndev, interpret = su["ndev"], su["interpret"]
+    stacked = su["stacked"]
+    aabb_lo, aabb_hi, owner_dev = su["aabb_lo"], su["aabb_hi"], su["owner"]
+    put, shard, repl = su["put"], su["shard"], su["repl"]
+    npix, pad, order_padded, pixel_ids = _insitu_pixels(
+        camera, ndev, put, shard
+    )
     m_local = (npix + pad) // ndev
     consts = {
         "faces": put(np.asarray(scene.faces), repl),

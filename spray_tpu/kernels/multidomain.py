@@ -24,20 +24,11 @@ from ..domains.partition import median_split_assign
 from .cluster_bvh import CLUSTER, build_cluster_bvh
 from . import common
 from .traverse import (
-    PACKET, _anyhit_call, _nearest_call, _rays_to_aug, _flat,
-    attrs_for_prims, tri_soa_from_scene,
+    _anyhit_call, _nearest_call, _rays_to_aug, _flat,
+    attrs_for_prims, live_buckets, tri_soa_from_scene,
 )
 
 MAX_DOMAIN_TRIS = 1 << 17  # ~131K tris ≈ 6.3 MB of cluster transforms
-
-
-def _live_buckets(win_pk, dom=None):
-    """(P, packet) windows -> (P,) bucket map with -1 for packets no lane
-    of which has a live window (the kernels skip dead programs entirely —
-    r4: dead grid-step prologues dominated incoherent wavefront calls)."""
-    any_live = jnp.any(win_pk > 0, axis=1)
-    base = jnp.zeros(win_pk.shape[0], jnp.int32) if dom is None else dom
-    return jnp.where(any_live & (base >= 0), jnp.maximum(base, 0), -1)
 
 
 def _packet_domain_order(aug, dom_aabb):
@@ -204,7 +195,7 @@ def _scan_nearest(bounds, meta, w, tri_ids, aug, n_static, tmax, interpret):
         win_pk = best_t.reshape(p, pk)
         a = aug.at[:, 5, 0:pk].set(win_pk)
         t, code = _nearest_call(
-            _live_buckets(win_pk), dom["bounds"][None], dom["meta"][None],
+            live_buckets(win_pk), dom["bounds"][None], dom["meta"][None],
             dom["w"][None], a, interpret,
         )
         t, code = t.reshape(-1), code.reshape(-1)
@@ -265,7 +256,7 @@ def _routed_nearest(bounds, meta, w, tri_ids, dom_aabb, aug, tmax, interpret):
         win_pk = jnp.where(live, bt, jnp.float32(0.0))
         a = a.at[:, 5, 0:pk].set(win_pk)
         t, code = _nearest_call(
-            _live_buckets(win_pk, bdom), bounds, meta, w, a, interpret
+            live_buckets(win_pk, bdom), bounds, meta, w, a, interpret
         )
         dom_ray = jnp.repeat(jnp.maximum(bdom, 0), pk)
         t, code = t.reshape(-1), code.reshape(-1)
@@ -307,7 +298,7 @@ def _routed_anyhit(bounds, meta, w, dom_aabb, aug, interpret):
         win_pk = jnp.where(live, a[:, 5, 0:pk], jnp.float32(0.0))
         a = a.at[:, 5, 0:pk].set(win_pk)
         o = _anyhit_call(
-            _live_buckets(win_pk, bdom), bounds, meta, w, a, interpret
+            live_buckets(win_pk, bdom), bounds, meta, w, a, interpret
         )
         o = o.reshape(p, pk)[inv].reshape(-1)
         return occ | o, None
@@ -355,7 +346,7 @@ def _routed_nearest_global(bounds, meta, w, tri_ids, dom_aabb, aug, tmax,
         win_pk = jnp.where(live, bt, jnp.float32(0.0))
         a = aug_s.at[:, 5, 0:pk].set(win_pk)
         t, code = _nearest_call(
-            _live_buckets(win_pk, bdom), bounds, meta, w, a, interpret
+            live_buckets(win_pk, bdom), bounds, meta, w, a, interpret
         )
         t = t.reshape(p, pk)
         code = code.reshape(p, pk)
@@ -396,7 +387,7 @@ def _routed_anyhit_global(bounds, meta, w, dom_aabb, aug, interpret):
         win_pk = jnp.where(live, win0, jnp.float32(0.0))
         a = aug_s.at[:, 5, 0:pk].set(win_pk)
         o = _anyhit_call(
-            _live_buckets(win_pk, bdom), bounds, meta, w, a, interpret
+            live_buckets(win_pk, bdom), bounds, meta, w, a, interpret
         )
         return occ | o.reshape(p, pk), None
 
@@ -420,7 +411,7 @@ def _scan_anyhit(bounds, meta, w, aug, interpret):
         ).reshape(p, pk)
         a = aug.at[:, 5, 0:pk].set(win_pk)
         o = _anyhit_call(
-            _live_buckets(win_pk), dom["bounds"][None], dom["meta"][None],
+            live_buckets(win_pk), dom["bounds"][None], dom["meta"][None],
             dom["w"][None], a, interpret,
         )
         return occ | o.reshape(-1), None

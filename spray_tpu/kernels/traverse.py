@@ -413,13 +413,22 @@ def _anyhit_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref, out_occ,
     out_occ[0] = occ
 
 
+def live_buckets(win_pk, dom=None):
+    """(P, packet) windows -> (P,) bucket map with -1 for packets no lane
+    of which has a live window (dead programs skip the whole kernel body —
+    see _nearest_kernel).  With `dom`, live packets keep their domain id
+    (and dom < 0 also marks dead).  THE single source of the dead-packet
+    sentinel convention."""
+    any_live = jnp.any(win_pk > 0, axis=1)
+    if dom is None:
+        return jnp.where(any_live, 0, -1).astype(jnp.int32)
+    return jnp.where(any_live & (dom >= 0), jnp.maximum(dom, 0), -1)
+
+
 def live_buckets_from_aug(aug):
-    """(P,) bucket map: 0 for packets with any live window, -1 otherwise
-    (dead programs skip the whole kernel body — see _nearest_kernel)."""
+    """Bucket map from packed ray blocks (row 5 = windows)."""
     pk = aug.shape[2] // 2
-    return jnp.where(
-        jnp.any(aug[:, 5, 0:pk] > 0, axis=1), 0, -1
-    ).astype(jnp.int32)
+    return live_buckets(aug[:, 5, 0:pk])
 
 
 def _rays_to_aug(o, d, tmin, tmax, packet=PACKET):

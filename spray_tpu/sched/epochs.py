@@ -191,7 +191,9 @@ def epoch_step_cluster(state: EpochState, slots, speculate, interpret):
     zero windows (the original epoch_step's behavior).
     Returns (state, traced, speculated).
     """
-    from ..kernels.traverse import PACKET, _nearest_call, _rays_to_aug
+    from ..kernels.traverse import (
+        PACKET, _nearest_call, _rays_to_aug, live_buckets,
+    )
 
     need = needed_mask(state)
     masked_entry = jnp.where(need, state.entry_t, jnp.inf)
@@ -222,9 +224,7 @@ def epoch_step_cluster(state: EpochState, slots, speculate, interpret):
         win = jnp.where(live, best_t, jnp.float32(0.0))
         win_pk = pad(win, 0.0).reshape(p, PACKET)
         a = aug.at[:, 5, 0:PACKET].set(win_pk)
-        bucket = jnp.where(
-            jnp.any(win_pk > 0, axis=1), 0, -1
-        ).astype(jnp.int32)
+        bucket = live_buckets(win_pk)
         t, code = _nearest_call(
             bucket, slot["bounds"][None],
             slot["meta"][None], slot["w"][None], a, interpret,
@@ -278,7 +278,9 @@ def epoch_batch_cluster(state: EpochState, slots, speculate, interpret,
     its all-lanes-occluded early exit and skipped nearest bookkeeping were
     unused by the OOC cluster backend until r4 (VERDICT r3 weak#2/next#7).
     """
-    from ..kernels.traverse import _anyhit_call, _nearest_call, _rays_to_aug
+    from ..kernels.traverse import (
+        _anyhit_call, _nearest_call, _rays_to_aug, live_buckets,
+    )
 
     slot_ids = slots["id"]  # (K,)
     d_total = state.entry_t.shape[1]
@@ -346,9 +348,7 @@ def epoch_batch_cluster(state: EpochState, slots, speculate, interpret,
             win = jnp.where(live, best_t, jnp.float32(0.0))
             win_pk = pad(win, 0.0).reshape(p, pk)
             a = aug0.at[:, 5, 0:pk].set(win_pk)
-            bucket = jnp.where(
-                jnp.any(win_pk > 0, axis=1), 0, -1
-            ).astype(jnp.int32)
+            bucket = live_buckets(win_pk)
             if any_hit:
                 occ = _anyhit_call(
                     bucket, slot["bounds"][None],
@@ -506,6 +506,7 @@ class OOCIntersector:
         # (the warm batched loop was tunnel-RTT-bound: 0.06s counts readback
         # + 0.03s restack + 0.06s batch per call, measured r4)
         d_actual = int(self.dset.aabb_lo.shape[0])
+        self._n_domains_actual = d_actual
         self.all_resident = (
             self.device_batched and d_actual <= self.sched_width
         )
@@ -530,18 +531,23 @@ class OOCIntersector:
             state, self._stacked_all, self.speculate, self.interpret,
             self.max_epochs, any_hit=any_hit,
         )
-        epochs = int(epochs)
+        # ONE device->host readback for all three counters (each sync costs
+        # ~50ms under the axon tunnel — the cost this fast path exists to
+        # avoid)
+        epochs, traced, spec = (
+            int(x) for x in np.asarray(jnp.stack([epochs, traced, spec]))
+        )
         if epochs >= self.max_epochs:
             raise RuntimeError("epoch loop failed to converge (max_epochs)")
         self.stats.epochs += epochs
-        self.stats.rays_traced += int(traced)
-        self.stats.rays_speculated += int(spec)
+        self.stats.rays_traced += traced
+        self.stats.rays_speculated += spec
         self.epoch_log.append({
             "epoch": self.stats.epochs,
-            "scheduled": list(range(self._stacked_all["bounds"].shape[0])),
+            "scheduled": list(range(self._n_domains_actual)),
             "batch_epochs": epochs,
-            "traced": int(traced),
-            "speculated": int(spec),
+            "traced": traced,
+            "speculated": spec,
             "loads": self.residency.loads,
             "hits": self.residency.hits,
             "prefetches": self.residency.prefetches,
@@ -596,23 +602,25 @@ class OOCIntersector:
                 state, stacked, self.speculate, self.interpret,
                 self.max_epochs, any_hit=any_hit,
             )
-            epochs = int(epochs)
+            epochs, traced, spec = (
+                int(x) for x in np.asarray(jnp.stack([epochs, traced, spec]))
+            )
             if epochs == 0:
                 raise RuntimeError(
                     "batched epoch loop made no progress (scheduled domains "
                     "had no resident work)"
                 )
             self.stats.epochs += epochs
-            self.stats.rays_traced += int(traced)
-            self.stats.rays_speculated += int(spec)
+            self.stats.rays_traced += traced
+            self.stats.rays_speculated += spec
             self.epoch_log.append({
                 "epoch": self.stats.epochs,
                 "queued": int(counts.sum()),
                 "scheduled": sched,
                 "resident_extra": len(ids) - len(sched),
                 "batch_epochs": epochs,
-                "traced": int(traced),
-                "speculated": int(spec),
+                "traced": traced,
+                "speculated": spec,
                 "loads": self.residency.loads,
                 "hits": self.residency.hits,
                 "prefetches": self.residency.prefetches,

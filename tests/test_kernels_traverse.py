@@ -65,7 +65,8 @@ def test_cluster_kernel_matches_brute(scene, seed):
     np.testing.assert_array_equal(occ_r, occ_p)
 
 
-@pytest.mark.parametrize("routed", [True, False], ids=["routed", "scan"])
+@pytest.mark.parametrize("routed", [True, "global", False],
+                         ids=["routed", "global", "scan"])
 def test_multidomain_cluster_matches_brute(routed):
     from spray_tpu.kernels.multidomain import MultiDomainClusterIntersector
 
@@ -91,8 +92,8 @@ def test_multidomain_cluster_matches_brute(routed):
 @pytest.mark.parametrize("packet", [128, 256], ids=["p128", "p256"])
 def test_multidomain_cluster_narrow_packets(packet):
     """Narrow-packet kernels (r4 incoherent-wavefront lever) produce the
-    same hits as the default 512-lane width — width only changes union
-    economics, never results."""
+    same hits as the widest 512-lane configuration — width only changes
+    union economics, never results."""
     from spray_tpu.kernels.multidomain import MultiDomainClusterIntersector
 
     scene = wisp_cloud(n_blobs=8, tris_per_blob=80, extent=4.0)
@@ -100,7 +101,7 @@ def test_multidomain_cluster_narrow_packets(packet):
     o, d = _rand_rays(scene, n, 7)
     tmin = jnp.zeros(n, jnp.float32)
     tmax = jnp.full(n, np.inf, jnp.float32)
-    wide = MultiDomainClusterIntersector(scene, n_domains=6)
+    wide = MultiDomainClusterIntersector(scene, n_domains=6, packet=512)
     slim = MultiDomainClusterIntersector(scene, n_domains=6, packet=packet)
     hw = wide.intersect(o, d, tmin, tmax)
     hs = slim.intersect(o, d, tmin, tmax)
