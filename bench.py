@@ -131,9 +131,10 @@ def headline(args):
             "backend": jax.default_backend(),
             "intersector": type(isect).__name__,
             "notes": (
-                "r4: frame 6.85s -> 5.8s (keyed single-reduce leaf decode, "
-                "256-lane packets, dead-packet program skip, global-permute "
-                "domain routing, no per-visit anyhit sync); cold compile "
+                "r4: frame 6.85s -> 5.73s (keyed single-reduce leaf decode "
+                "with Newton-reciprocal t, 256-lane packets, dead-packet "
+                "program skip, global-permute domain routing, no per-visit "
+                "anyhit sync); cold compile "
                 "470s -> ~93s true XLA (scan-over-bounces, faces/emission "
                 "as jit args, one packet sort instead of 21 per-round "
                 "permutes; the remaining ~73s is the backward program's "

@@ -94,6 +94,33 @@ def make_fn(kind, niter, p):
             return (jnp.where(improved, trow, best_t),
                     jnp.where(improved, code, best_code))
 
+        def leaf_keyed_recip(cid, best_t, best_code):
+            # division replaced by approx reciprocal + ONE Newton step
+            # (~2 ulp): the f32 divide lowers to a longer Newton chain
+            ou, ov, ow, du, dv, dw = mm(cid)
+            dw_ok = jnp.abs(dw) > F32(1e-20)
+            dws = jnp.where(dw_ok, dw, F32(1.0))
+            r0 = pl.reciprocal(dws, approx=True)
+            r = r0 * (F32(2.0) - dws * r0)
+            t = -ow * r
+            u = ou + t * du
+            v = ov + t * dv
+            ok = (dw_ok & (t >= tlo) & (t < best_t) & (u >= 0) & (v >= 0)
+                  & (u + v <= 1))
+            tb = jax.lax.bitcast_convert_type(
+                jnp.maximum(t, F32(0.0)), jnp.int32
+            )
+            key = (tb & jnp.int32(-128)) | row
+            key = jnp.where(ok, key, INF_KEY)
+            kmin = jnp.min(key, axis=0, keepdims=True)
+            t_up = jax.lax.bitcast_convert_type(
+                (kmin & jnp.int32(-128)) + jnp.int32(128), jnp.float32
+            )
+            improved = t_up < best_t
+            code = cid * C + (kmin & 127)
+            return (jnp.where(improved, t_up, best_t),
+                    jnp.where(improved, code, best_code))
+
         def leaf_keyed(cid, best_t, best_code):
             ou, ov, ow, du, dv, dw = mm(cid)
             dw_ok = jnp.abs(dw) > F32(1e-20)
@@ -157,6 +184,8 @@ def make_fn(kind, niter, p):
                 return bt2, bc2, acc
             if kind == "keyed":
                 bt, bc = leaf_keyed(cid, best_t, best_code)
+            elif kind == "keyed_recip":
+                bt, bc = leaf_keyed_recip(cid, best_t, best_code)
             else:
                 bt, bc = leaf_base(cid, best_t, best_code)
             return bt, bc, acc
@@ -185,12 +214,12 @@ def make_fn(kind, niter, p):
 def main():
     rng = np.random.RandomState(0)
     w = jnp.asarray(rng.normal(size=(NC, 4, 3 * C)).astype(np.float32))
-    for p in (512, 256, 128):
+    for p in (256,):
         rays = rng.normal(size=(6, 2 * p)).astype(np.float32)
         rays[4] = 0.0
         rays[5] = 1e30
         rays = jnp.asarray(rays)
-        for kind in ("mm_only", "base", "keyed", "guard_hit", "guard_miss"):
+        for kind in ("mm_only", "keyed", "keyed_recip"):
             if kind == "guard_hit":
                 bounds = jnp.asarray(
                     np.tile([-1e30, -1e30, -1e30, 1e30, 1e30, 1e30],

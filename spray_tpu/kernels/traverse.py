@@ -194,7 +194,15 @@ def _cluster_intersect(w_ref, cid, od32, tlo, thi, occl, row=None):
     ou, ov, ow = op[0:c], op[c : 2 * c], op[2 * c : 3 * c]
     du, dv, dw = dp[0:c], dp[c : 2 * c], dp[2 * c : 3 * c]
     dw_ok = jnp.abs(dw) > F32(1e-20)
-    t = -ow / jnp.where(dw_ok, dw, F32(1.0))
+    dws = jnp.where(dw_ok, dw, F32(1.0))
+    # t = -ow/dw via approx reciprocal + ONE Newton step (~1-2 ulp): the f32
+    # divide lowers to a longer Newton chain; measured -19%/visit (r4,
+    # profiling/r4_leaf_variants.py keyed_recip).  The ~ulp-level t error is
+    # far inside the keyed decode's own 128-ulp quantization and the
+    # outside-the-kernel exact attribute recompute; the on-TPU parity gate
+    # stays at zero mismatches.
+    r0 = pl.reciprocal(dws, approx=True)
+    t = -ow * (r0 * (F32(2.0) - dws * r0))
     u = ou + t * du
     v = ov + t * dv
     if occl:
