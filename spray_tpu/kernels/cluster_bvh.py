@@ -73,13 +73,15 @@ def tri_transforms(v0, e1, e2):
     return out
 
 
-def build_clusters(vertices, faces):
-    """Morton-order tris into CLUSTER-sized groups with MXU transform layout.
+def build_clusters(vertices, faces, cluster=CLUSTER):
+    """Morton-order tris into `cluster`-sized groups with MXU transform
+    layout (cluster <= 128: the keyed decode packs the row id in 7 bits).
 
     Returns (w (Nc,4,3C) f32, tri_ids (Nc,C) i32, clo (Nc,3), chi (Nc,3)).
     Shared by the packet-traversal BVH (this module) and the binned
     cull+visit tracer (kernels/binned.py).
     """
+    assert cluster <= CLUSTER
     from .. import native  # noqa: PLC0415
 
     vertices = np.asarray(vertices, np.float32)
@@ -91,9 +93,9 @@ def build_clusters(vertices, faces):
     order = native.morton_order(tlo, thi)  # C++ fast path
     if order is None:
         order = _morton_order(tlo, thi)
-    tp = -(-ntri // CLUSTER) * CLUSTER
+    tp = -(-ntri // cluster) * cluster
     perm = np.concatenate([order, np.full(tp - ntri, -1, np.int64)])
-    nc = tp // CLUSTER
+    nc = tp // cluster
 
     valid = perm >= 0
     safe = np.where(valid, perm, 0)
@@ -104,12 +106,12 @@ def build_clusters(vertices, faces):
     tf = native.tri_transforms(v0, e1, e2)  # C++ fast path
     if tf is None:
         tf = tri_transforms(v0, e1, e2)
-    tf = tf.reshape(nc, CLUSTER, 4, 3)
-    w = np.transpose(tf, (0, 2, 3, 1)).reshape(nc, 4, 3 * CLUSTER)
-    ids = np.where(valid, perm, -1).astype(np.int32).reshape(nc, CLUSTER)
+    tf = tf.reshape(nc, cluster, 4, 3)
+    w = np.transpose(tf, (0, 2, 3, 1)).reshape(nc, 4, 3 * cluster)
+    ids = np.where(valid, perm, -1).astype(np.int32).reshape(nc, cluster)
 
-    plo = np.where(valid[:, None], tlo[safe], np.inf).reshape(nc, CLUSTER, 3)
-    phi = np.where(valid[:, None], thi[safe], -np.inf).reshape(nc, CLUSTER, 3)
+    plo = np.where(valid[:, None], tlo[safe], np.inf).reshape(nc, cluster, 3)
+    phi = np.where(valid[:, None], thi[safe], -np.inf).reshape(nc, cluster, 3)
     clo = plo.min(1)
     chi = phi.max(1)
     return (
@@ -118,8 +120,9 @@ def build_clusters(vertices, faces):
     )
 
 
-def _build_cluster_bvh_morton(vertices, faces, branching=8, tree="sah"):
-    w, ids, clo, chi = build_clusters(vertices, faces)
+def _build_cluster_bvh_morton(vertices, faces, branching=8, tree="sah",
+                              cluster=CLUSTER):
+    w, ids, clo, chi = build_clusters(vertices, faces, cluster)
     if tree == "sah":
         bounds, meta = _build_sah_tree(clo, chi, branching)
     else:
@@ -318,14 +321,16 @@ def _build_range_tree(clo, chi, branching=8):
 
 
 def build_cluster_bvh(vertices, faces, branching=8, num_bins=16,
-                      builder="morton"):
+                      builder="morton", cluster=CLUSTER):
     """Build the cluster BVH.  builder='morton' (vectorized, fast, default)
     or 'sah' (binned-SAH via bvh.builder — better trees, slow in Python;
-    the C++ native builder replaces it for big scenes)."""
+    the C++ native builder replaces it for big scenes).  cluster: tris per
+    leaf (<= 128; the kernels derive it from the page shapes)."""
     vertices = np.asarray(vertices, np.float32)
     faces = np.asarray(faces, np.int64)
     if builder == "morton":
-        return _build_cluster_bvh_morton(vertices, faces, branching)
+        return _build_cluster_bvh_morton(vertices, faces, branching,
+                                         cluster=cluster)
     bvh = build_bvh(
         vertices, faces, leaf_size=CLUSTER, branching=branching,
         num_bins=num_bins,

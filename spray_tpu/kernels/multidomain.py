@@ -130,7 +130,7 @@ def split_for_vmem(scene, max_tris=MAX_DOMAIN_TRIS):
     return max(1, -(-ntri // max_tris))
 
 
-def build_cluster_domains(scene, n_domains=None):
+def build_cluster_domains(scene, n_domains=None, cluster=None):
     """Partition the scene and build one ClusterBVH per domain, stacked to
     IDENTICAL padded shapes (host numpy).  Shared by the all-resident
     multi-domain intersector and the OOC residency slots (SURVEY §2 R10) —
@@ -139,8 +139,12 @@ def build_cluster_domains(scene, n_domains=None):
     Returns dict: bounds (D,Nn,8,6), meta (D,Nn,8), w (D,Nc,4,3C),
     tri_ids (D,Nc*C) GLOBAL ids, aabb (D,6).
     """
+    from .cluster_bvh import CLUSTER  # noqa: PLC0415
+
     verts = np.asarray(scene.vertices, np.float32)
     faces = np.asarray(scene.faces, np.int64)
+    if cluster is None:
+        cluster = CLUSTER
     if n_domains is None:
         n_domains = split_for_vmem(scene)
     tv = verts[faces.reshape(-1)].reshape(-1, 3, 3)
@@ -155,7 +159,7 @@ def build_cluster_domains(scene, n_domains=None):
         ids = np.nonzero(assign == d)[0]
         if len(ids) == 0:
             continue
-        cbvh = build_cluster_bvh(verts, faces[ids])
+        cbvh = build_cluster_bvh(verts, faces[ids], cluster=cluster)
         local = cbvh.tri_ids
         cbvh.tri_ids = np.where(
             local >= 0, ids[np.clip(local, 0, None)], -1
@@ -443,14 +447,14 @@ class MultiDomainClusterIntersector:
     """
 
     def __init__(self, scene, n_domains=None, interpret=None,
-                 routed="global", packet=256):
+                 routed="global", packet=256, cluster=None):
         # default 256 lanes: measured fastest on the bench frame (r4 packet
         # sweep: 1.46s vs 1.62s @512 vs 1.54s @128, byte-identical images) —
         # narrower packets waste less union-frustum decode on incoherent
         # bounce/NEE wavefronts, at 2x the fixed per-visit costs
         self.routed = routed
         self.packet = packet
-        st = build_cluster_domains(scene, n_domains)
+        st = build_cluster_domains(scene, n_domains, cluster=cluster)
         self.dom_aabb = jnp.asarray(st["aabb"])
         self.n_domains = st["bounds"].shape[0]
         self.bounds = jnp.asarray(st["bounds"])

@@ -183,6 +183,7 @@ def _cluster_intersect(w_ref, cid, od32, tlo, thi, occl, row=None):
     """
     packet = od32.shape[1] // 2
     wmat = _stack_w32(w_ref[0, cid])
+    c = wmat.shape[1] // 3
     dn = (((0,), (0,)), ((), ()))  # contract the K-dim of both
     odp = jax.lax.dot_general(
         wmat, od32, dn, preferred_element_type=jnp.float32,
@@ -190,7 +191,6 @@ def _cluster_intersect(w_ref, cid, od32, tlo, thi, occl, row=None):
     )  # (3C, 2*packet)
     op = odp[:, 0:packet]
     dp = odp[:, packet : 2 * packet]
-    c = CLUSTER
     ou, ov, ow = op[0:c], op[c : 2 * c], op[2 * c : 3 * c]
     du, dv, dw = dp[0:c], dp[c : 2 * c], dp[2 * c : 3 * c]
     dw_ok = jnp.abs(dw) > F32(1e-20)
@@ -281,7 +281,8 @@ def _nearest_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref, out_t,
                   out_code, nid_ref, pc_ref):
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
     packet = rays_ref.shape[2] // 2
-    row = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER, packet), 0)
+    c_sz = w_ref.shape[3] // 3  # tris per cluster (from the page shape)
+    row = jax.lax.broadcasted_iota(jnp.int32, (c_sz, packet), 0)
 
     w0 = _slab_all_children(
         bounds_ref, 0, valid_ref[0, 0, 0], ox, oy, oz, idx, idy, idz,
@@ -327,7 +328,7 @@ def _nearest_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref, out_t,
                 (kmin & jnp.int32(-128)) + jnp.int32(128), jnp.float32
             )
             improved = t_up < best_t
-            code = cid * CLUSTER + (kmin & 127)
+            code = cid * c_sz + (kmin & 127)
             return (
                 sp,
                 jnp.where(improved, t_up, best_t),

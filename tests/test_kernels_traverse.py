@@ -113,3 +113,28 @@ def test_multidomain_cluster_narrow_packets(packet):
     occ_w = np.asarray(wide.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
     occ_s = np.asarray(slim.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
     np.testing.assert_array_equal(occ_w, occ_s)
+
+
+def test_multidomain_cluster_size_64_matches_brute():
+    """r4: cluster size is a build knob (kernels derive C from the page
+    shapes).  C=64 halves the per-visit decode width — the r5 perf lever —
+    and must commit identical hits."""
+    from spray_tpu.kernels.multidomain import MultiDomainClusterIntersector
+
+    scene = wisp_cloud(n_blobs=8, tris_per_blob=80, extent=4.0)
+    n = 900
+    o, d = _rand_rays(scene, n, 11)
+    tmin = jnp.zeros(n, jnp.float32)
+    tmax = jnp.full(n, np.inf, jnp.float32)
+    ref = BruteIntersector(scene, jnp)
+    mk = MultiDomainClusterIntersector(scene, n_domains=6, cluster=64)
+    hr = ref.intersect(o, d, tmin, tmax)
+    hm = mk.intersect(o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(hr.valid), np.asarray(hm.valid))
+    m = np.asarray(hr.valid)
+    np.testing.assert_allclose(
+        np.asarray(hr.t)[m], np.asarray(hm.t)[m], rtol=2e-4, atol=2e-5
+    )
+    occ_r = np.asarray(ref.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
+    occ_m = np.asarray(mk.occluded(o, d, jnp.full(n, 1e30, jnp.float32)))
+    np.testing.assert_array_equal(occ_r, occ_m)
