@@ -60,11 +60,18 @@ class Rays:
 
 @pytree_dataclass
 class Hits:
-    """Nearest-hit records for a wavefront.  Parallel to a `Rays` value."""
+    """Nearest-hit records for a wavefront.  Parallel to a `Rays` value.
+
+    u/v are only meaningful from intersectors that recompute hit attributes
+    against the committed triangle (the kernel/oracle paths via
+    `attrs_for_prims`); distributed backends that return only (t, prim) over
+    the wire without a triangle SoA at home fill u=v=0 (ADVICE r4 — no
+    current consumer reads them, but don't build one on such a backend).
+    """
 
     t: Any  # (N,) f32 hit distance (tmax where miss)
     prim: Any  # (N,) i32 global triangle id (-1 where miss)
-    u: Any  # (N,) f32 barycentric
+    u: Any  # (N,) f32 barycentric (see docstring caveat)
     v: Any  # (N,) f32 barycentric
     valid: Any  # (N,) bool
 

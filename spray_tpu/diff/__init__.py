@@ -63,15 +63,38 @@ class DetachedIntersector:
         self.faces = faces
 
     @property
-    def unrolled_only(self):
-        # integrator-control flags follow the wrapped intersector (e.g. the
-        # dist collective intersector's traced-stats log forbids the scan
-        # bounce loop)
-        return getattr(self.inner, "unrolled_only", False)
-
-    @property
     def host_driven(self):
+        # integrator-control flags follow the wrapped intersector
         return getattr(self.inner, "host_driven", False)
+
+    # functional stats protocol (integrators.wavefront): present only when
+    # the wrapped intersector has it (the dist collective).  `stats_init`
+    # is a property returning the inner's bound method or None, so
+    # getattr(self, "stats_init", None) keeps working as the detection.
+    @property
+    def stats_init(self):
+        return getattr(self.inner, "stats_init", None)
+
+    def intersect_s(self, o, d, tmin, tmax, stats):
+        h, stats = self.inner.intersect_s(
+            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+            jax.lax.stop_gradient(tmin), jax.lax.stop_gradient(tmax),
+            stats,
+        )
+        t, u, v, _ = reintersect(
+            self.vertices, self.faces, h.prim, o, d, tmax, h.valid
+        )
+        return Hits(t=t, prim=h.prim, u=u, v=v, valid=h.valid), stats
+
+    def occluded_s(self, o, d, tmax, stats):
+        occ, stats = self.inner.occluded_s(
+            jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
+            jax.lax.stop_gradient(tmax), stats,
+        )
+        return occ, stats
+
+    def absorb_stats(self, stats):
+        self.inner.absorb_stats(stats)
 
     def intersect(self, o, d, tmin, tmax):
         # ALL inputs to the discrete search are detached (tmin/tmax carry

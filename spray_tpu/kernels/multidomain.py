@@ -24,8 +24,9 @@ from ..domains.partition import median_split_assign
 from .cluster_bvh import CLUSTER, build_cluster_bvh
 from . import common
 from .traverse import (
-    _anyhit_call, _nearest_call, _rays_to_aug, _flat,
-    attrs_for_prims, live_buckets, tri_soa_from_scene,
+    _anyhit_call, _anyhit_call_perm, _nearest_call, _nearest_call_perm,
+    _rays_to_aug, _flat, attrs_for_prims, live_buckets, stack_w_pages,
+    tri_soa_from_scene,
 )
 
 MAX_DOMAIN_TRIS = 1 << 17  # ~131K tris ≈ 6.3 MB of cluster transforms
@@ -158,6 +159,25 @@ def build_cluster_domains(scene, n_domains=None, cluster=None):
     for d in range(n_domains):
         ids = np.nonzero(assign == d)[0]
         if len(ids) == 0:
+            # zero-cluster placeholder page (ADVICE r4): the requested domain
+            # count is always honored, so mesh-rounded in-situ setups never
+            # crash on small/degenerate scenes.  The page can never hit (one
+            # root with zero valid children, all-zero transforms -> dw_ok
+            # false) and its AABB is a far point box rays essentially never
+            # enter (and root out instantly if they do).
+            far = np.float32(2e30)
+            cbvhs.append(ClusterBVH(
+                bounds=np.concatenate([
+                    np.full((1, 8, 3), np.inf, np.float32),
+                    np.full((1, 8, 3), -np.inf, np.float32),
+                ], axis=2),
+                meta=np.full((1, 8), -1, np.int32),
+                w=np.zeros((1, 4, 3 * cluster), np.float32),
+                tri_ids=np.full((1, cluster), -1, np.int32),
+                world_lo=np.full(3, far, np.float32),
+                world_hi=np.full(3, far, np.float32),
+            ))
+            aabbs.append(np.full(6, far, np.float32))
             continue
         cbvh = build_cluster_bvh(verts, faces[ids], cluster=cluster)
         local = cbvh.tri_ids
@@ -403,6 +423,94 @@ def _routed_anyhit_global(bounds, meta, w, dom_aabb, aug, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+def _routed_nearest_grid(bounds, meta, w, tri_ids, dom_aabb, aug, tmax,
+                         interpret):
+    """Routed traversal with PER-ROUND domain-sorted GRID order (r5): the
+    scalar-prefetched packet permutation of `_nearest_call_perm` makes the
+    kernel's grid visit packets sorted by this round's domain, so every
+    domain's (now 4x bigger pre-stacked bf16) page is DMA'd at most once per
+    round — with ZERO wavefront gathers: rays stay in natural (tile) order
+    in HBM, outputs land at natural positions via the output index map.
+    Replaces both r3's per-round data sorts (whole-wavefront gathers: the
+    dominant XLA glue+compile cost) and r4's one global data sort (which
+    left later rounds' domain runs fragmented — measured 15% frame loss
+    once pages grew 4x).  The per-round sort is over P ~ 4K PACKET ids, not
+    rays: trivial."""
+    p = aug.shape[0]
+    pk = aug.shape[2] // 2
+    npad = p * pk
+    order, _ = _packet_domain_order(aug, dom_aabb)  # (P, D), natural order
+    d_count = bounds.shape[0]
+
+    def pad_n(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full(npad - x.shape[0], fill, x.dtype)]
+        ) if x.shape[0] < npad else x
+
+    bt0 = pad_n(tmax, 0.0).reshape(p, pk)
+    bp0 = jnp.full((p, pk), -1, jnp.int32)
+
+    def body(carry, r):
+        bt, bp = carry
+        bdom = order[:, r]  # (P,) natural packet order
+        live = (bdom >= 0)[:, None]
+        win_pk = jnp.where(live, bt, jnp.float32(0.0))
+        a = aug.at[:, 5, 0:pk].set(win_pk)
+        bucket_nat = live_buckets(win_pk, bdom)  # (P,), -1 = dead
+        key = jnp.where(bucket_nat >= 0, bucket_nat, d_count)
+        perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+        t, code = _nearest_call_perm(
+            bucket_nat[perm], perm, bounds, meta, w, a, interpret
+        )
+        t = t.reshape(p, pk)
+        code = code.reshape(p, pk)
+        dom_b = jnp.maximum(bdom, 0)[:, None]
+        prim = jnp.where(
+            code >= 0,
+            tri_ids[jnp.broadcast_to(dom_b, code.shape),
+                    jnp.maximum(code, 0)],
+            -1,
+        )
+        upd = (prim >= 0) & (t < bt)
+        return (
+            jnp.where(upd, t, bt), jnp.where(upd, prim, bp)
+        ), None
+
+    (bt, bp), _ = jax.lax.scan(
+        body, (bt0, bp0), jnp.arange(order.shape[1], dtype=jnp.int32)
+    )
+    return bt.reshape(-1), bp.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _routed_anyhit_grid(bounds, meta, w, dom_aabb, aug, interpret):
+    p = aug.shape[0]
+    pk = aug.shape[2] // 2
+    order, _ = _packet_domain_order(aug, dom_aabb)
+    d_count = bounds.shape[0]
+    win0 = aug[:, 5, 0:pk]
+
+    def body(occ, r):
+        bdom = order[:, r]
+        live = (bdom >= 0)[:, None] & (occ == 0)
+        win_pk = jnp.where(live, win0, jnp.float32(0.0))
+        a = aug.at[:, 5, 0:pk].set(win_pk)
+        bucket_nat = live_buckets(win_pk, bdom)
+        key = jnp.where(bucket_nat >= 0, bucket_nat, d_count)
+        perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+        o = _anyhit_call_perm(
+            bucket_nat[perm], perm, bounds, meta, w, a, interpret
+        )
+        return occ | o.reshape(p, pk), None
+
+    occ, _ = jax.lax.scan(
+        body, jnp.zeros((p, pk), jnp.int32),
+        jnp.arange(order.shape[1], dtype=jnp.int32),
+    )
+    return occ.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def _scan_anyhit(bounds, meta, w, aug, interpret):
     p = aug.shape[0]
     pk = aug.shape[2] // 2
@@ -434,20 +542,22 @@ def _scan_anyhit(bounds, meta, w, aug, interpret):
 class MultiDomainClusterIntersector:
     """Drop-in intersector: D per-domain Pallas cluster BVHs, min-combined.
 
-    routed="global" (default, r4): front-to-back domain-cursor rounds with
-    ONE packet sort (by first-visited domain) for the whole trace — zero
-    per-round gathers.  Measured vs routed=True at bench scale: frame
-    1.219s vs 1.190s (+2.4%), compile 15s vs ~90s — the per-round
-    whole-wavefront permutes were nearly all of the routed path's XLA
-    compile cost and bought only ~2% runtime.
-    routed=True: per-round domain-sorted packets (maximal page-DMA
-    contiguity; the r3 form).
+    routed="grid" (default, r5): per-round domain-sorted GRID order via the
+    scalar-prefetched packet permutation — every round's page DMAs are
+    maximally contiguous AND there are zero wavefront gathers (the rays
+    never move; the kernel's index maps do the sort).  Strictly dominates
+    both older routed forms.
+    routed="global" (r4): one packet DATA sort by first-visited domain;
+    later rounds' domain runs fragment (measured 15% frame loss with the
+    4x bf16 pre-stacked pages).
+    routed=True: per-round domain-sorted packet DATA (whole-wavefront
+    gathers each round; the r3 form — ~90s extra XLA compile).
     routed=False: plain scan of every domain over every packet (the
     dense-speculation form; kept as the correctness cross-check).
     """
 
     def __init__(self, scene, n_domains=None, interpret=None,
-                 routed="global", packet=256, cluster=None):
+                 routed="grid", packet=256, cluster=None):
         # default 256 lanes: measured fastest on the bench frame (r4 packet
         # sweep: 1.46s vs 1.62s @512 vs 1.54s @128, byte-identical images) —
         # narrower packets waste less union-frustum decode on incoherent
@@ -459,7 +569,9 @@ class MultiDomainClusterIntersector:
         self.n_domains = st["bounds"].shape[0]
         self.bounds = jnp.asarray(st["bounds"])
         self.meta = jnp.asarray(st["meta"])
-        self.w = jnp.asarray(st["w"])
+        # pre-stacked bf16 pages (r5, kernels.traverse.stack_w_pages): the
+        # compact f32 host pages are stacked ON DEVICE once at init
+        self.w = stack_w_pages(jnp.asarray(st["w"]))
         self.tri_ids = jnp.asarray(st["tri_ids"])
         self.v0, self.e1, self.e2 = tri_soa_from_scene(scene)
         self.interpret = (
@@ -471,7 +583,12 @@ class MultiDomainClusterIntersector:
         perm, inv = _live_partition(tmax, d)
         o_, d_, tmin_, tmax_ = o[perm], d[perm], tmin[perm], tmax[perm]
         aug, _ = _rays_to_aug(o_, d_, tmin_, tmax_, self.packet)
-        if self.routed == "global":
+        if self.routed == "grid":
+            bt, bp = _routed_nearest_grid(
+                self.bounds, self.meta, self.w, self.tri_ids,
+                self.dom_aabb, aug, tmax_, self.interpret,
+            )
+        elif self.routed == "global":
             bt, bp = _routed_nearest_global(
                 self.bounds, self.meta, self.w, self.tri_ids,
                 self.dom_aabb, aug, tmax_, self.interpret,
@@ -500,7 +617,12 @@ class MultiDomainClusterIntersector:
         tmin = jnp.zeros_like(tmax)
         perm, inv = _live_partition(tmax, d)
         aug, _ = _rays_to_aug(o[perm], d[perm], tmin, tmax[perm], self.packet)
-        if self.routed == "global":
+        if self.routed == "grid":
+            occ = _routed_anyhit_grid(
+                self.bounds, self.meta, self.w, self.dom_aabb, aug,
+                self.interpret,
+            )
+        elif self.routed == "global":
             occ = _routed_anyhit_global(
                 self.bounds, self.meta, self.w, self.dom_aabb, aug,
                 self.interpret,

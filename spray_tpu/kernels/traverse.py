@@ -142,6 +142,26 @@ def _stack_w32(w):
     return jnp.concatenate([h, h, m, h, l, m, m, l], axis=0)
 
 
+@jax.jit
+def stack_w_pages(w):
+    """Pre-stacked bf16 cluster pages: (..., 4, 3C) f32 -> (..., 32, 3C) bf16.
+
+    r5 (VERDICT r4 next#1): the r4 leaf-visit ladder showed the per-visit
+    `_stack_w32` split assembly dominating even the matmul-only floor (358 of
+    490 ns/visit @256 lanes) — the K=32 operand was rebuilt from the compact
+    (4, 3C) f32 page on EVERY leaf visit.  Storing the K-stack itself, as
+    actual bf16 (every split term is bf16-exact, so the f32->bf16 conversion
+    is lossless), makes the per-visit operand prep ZERO vector ops: the
+    kernel feeds the page straight to the MXU.  Cost: 4x the page bytes
+    (64 B vs 16 B per matrix column) in HBM/VMEM only — host pages stay
+    compact f32 and are stacked ON DEVICE once per build/slot-load, so
+    host->HBM streaming traffic (the OOC bottleneck) is unchanged.
+    """
+    h, m, l = _split3(w)
+    out = jnp.concatenate([h, h, m, h, l, m, m, l], axis=-2)
+    return out.astype(jnp.bfloat16)
+
+
 def _stack_od32(od):
     """(4, N) f32 -> (32, N) f32, paired with _stack_w32's term order."""
     h, m, l = _split3(od)
@@ -182,7 +202,11 @@ def _cluster_intersect(w_ref, cid, od32, tlo, thi, occl, row=None):
     and the on-TPU parity gate (zero mismatches).
     """
     packet = od32.shape[1] // 2
-    wmat = _stack_w32(w_ref[0, cid])
+    if w_ref.shape[2] == 32:
+        # pre-stacked bf16 page (stack_w_pages): zero per-visit operand prep
+        wmat = w_ref[0, cid]
+    else:
+        wmat = _stack_w32(w_ref[0, cid])
     c = wmat.shape[1] // 3
     dn = (((0,), (0,)), ((), ()))  # contract the K-dim of both
     odp = jax.lax.dot_general(
@@ -254,10 +278,11 @@ def _pop_child(nid_ref, pc_ref, sp):
     return sp, nid, c
 
 
-def _nearest_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
-                    rays_ref, out_t, out_code, nid_ref, pc_ref):
-    # dom_ref: (NB,) scalar-prefetch bucket->domain map driving the BlockSpec
-    # index maps (which domain's BVH is DMA'd for this program).  A NEGATIVE
+def _nearest_kernel(dom_ref, perm_ref, bounds_ref, meta_ref, valid_ref,
+                    w_ref, rays_ref, out_t, out_code, nid_ref, pc_ref):
+    # dom_ref: (NB,) scalar-prefetch GRID-ORDER domain map driving the
+    # BlockSpec index maps (which domain's BVH is DMA'd for this program);
+    # perm_ref: grid step -> packet index (see _domain_specs).  A NEGATIVE
     # entry marks the whole packet DEAD: the r4 frame split showed incoherent
     # wavefronts (81K live of 1M lanes) burning >1s per call on the 21-round
     # x thousands-of-dead-packets grid-step prologue (ray unpacking, split
@@ -280,6 +305,8 @@ def _nearest_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
 def _nearest_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref, out_t,
                   out_code, nid_ref, pc_ref):
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
+    if w_ref.shape[2] == 32:  # pre-stacked bf16 pages: bf16 ray operand too
+        od8 = od8.astype(jnp.bfloat16)  # lossless: values are bf16-exact
     packet = rays_ref.shape[2] // 2
     c_sz = w_ref.shape[3] // 3  # tris per cluster (from the page shape)
     row = jax.lax.broadcasted_iota(jnp.int32, (c_sz, packet), 0)
@@ -349,8 +376,8 @@ def _nearest_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref, out_t,
     out_code[0] = best_code
 
 
-def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
-                   rays_ref, out_occ, nid_ref, pc_ref):
+def _anyhit_kernel(dom_ref, perm_ref, bounds_ref, meta_ref, valid_ref,
+                   w_ref, rays_ref, out_occ, nid_ref, pc_ref):
     packet = rays_ref.shape[2] // 2
     live = dom_ref[pl.program_id(0)] >= 0
 
@@ -367,6 +394,8 @@ def _anyhit_kernel(dom_ref, bounds_ref, meta_ref, valid_ref, w_ref,
 def _anyhit_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref, out_occ,
                  nid_ref, pc_ref):
     od8, ox, oy, oz, idx, idy, idz, tmin, tmax = _ray_rows(rays_ref)
+    if w_ref.shape[2] == 32:  # pre-stacked bf16 pages (see _nearest_body)
+        od8 = od8.astype(jnp.bfloat16)
     packet = rays_ref.shape[2] // 2
 
     w0 = _slab_all_children(
@@ -486,12 +515,21 @@ def _domain_specs(bounds, meta, valid_cols, w, packet=PACKET):
     """BlockSpecs that DMA ONE domain's BVH per grid step, selected by the
     scalar-prefetched bucket->domain map (MoE-router style).  Consecutive
     buckets with the same domain re-use the resident block (no re-DMA), so a
-    domain is uploaded once per contiguous run."""
+    domain is uploaded once per contiguous run.
+
+    Two scalar-prefetch refs (r5): dom_ref maps GRID STEP -> domain;
+    perm_ref maps GRID STEP -> packet index — the ray block and the output
+    blocks are indexed THROUGH perm_ref, so the grid can visit packets in
+    domain-sorted order (maximal page-DMA contiguity, the thing that made
+    4x-bigger pre-stacked bf16 pages lose at frame level) with ZERO
+    wavefront gathers/scatters: results land at their natural packet
+    positions via the output index map.
+    """
     dsel = lambda b, dom_ref: jnp.maximum(dom_ref[b], 0)
     return [
         pl.BlockSpec(
             (1,) + bounds.shape[1:],
-            lambda b, dref: (dsel(b, dref), 0, 0, 0),
+            lambda b, dref, pref: (dsel(b, dref), 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         # meta/valid are FLAT (D, 1, Nn*8) / (D, 1, Nn): SMEM windows are
@@ -501,21 +539,21 @@ def _domain_specs(bounds, meta, valid_cols, w, packet=PACKET):
         # "last two block dims equal array dims or divisible" rule.
         pl.BlockSpec(
             (1, 1, meta.shape[2]),
-            lambda b, dref: (dsel(b, dref), 0, 0),
+            lambda b, dref, pref: (dsel(b, dref), 0, 0),
             memory_space=pltpu.SMEM,  # meta: scalar reads
         ),
         pl.BlockSpec(
             (1, 1, valid_cols),
-            lambda b, dref: (dsel(b, dref), 0, 0),
+            lambda b, dref, pref: (dsel(b, dref), 0, 0),
             memory_space=pltpu.SMEM,  # valid bytes: scalar reads
         ),
         pl.BlockSpec(
             (1,) + w.shape[1:],
-            lambda b, dref: (dsel(b, dref), 0, 0, 0),
+            lambda b, dref, pref: (dsel(b, dref), 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 6, 2 * packet), lambda b, dref: (b, 0, 0),
+            (1, 6, 2 * packet), lambda b, dref, pref: (pref[b], 0, 0),
             memory_space=pltpu.VMEM,
         ),
     ]
@@ -529,23 +567,37 @@ def _stack_scratch():
     ]
 
 
+# Pre-stacked bf16 pages (r5) double-buffer at ~24 MB per domain at the
+# default 131K-tri domain size — over Mosaic's 48 MB default scoped-VMEM
+# limit (measured OOM by 382 KB at bench scale).  v5e has 128 MB VMEM;
+# 100 MB leaves headroom for rays/outputs/scratch.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
-    """bounds (D,Nn,8,6), meta (D,Nn,8), w (D,Nc,4,3C), bucket_dom (P,) i32:
-    packet i traverses domain bucket_dom[i] (D=1 single-domain: zeros).
-    Returns (t, code) each (P, 1, packet); code = cluster*CLUSTER + row."""
+def _nearest_call_perm(bucket_dom, packet_perm, bounds, meta, w, rays_aug,
+                       interpret):
+    """bounds (D,Nn,8,6), meta (D,Nn,8), w (D,Nc,32,3C) bf16 pre-stacked
+    (or (D,Nc,4,3C) f32 compact), rays_aug (P,6,2*packet).
+
+    bucket_dom (P,) i32 is in GRID order: grid step b traverses domain
+    bucket_dom[b] over packet packet_perm[b] (a bijection over packets).
+    Outputs land at NATURAL packet positions via the output index map, so a
+    caller that sorts grid steps by domain (page-DMA contiguity) needs no
+    wavefront gathers and no inverse permute.  Returns (t, code) each
+    (P, 1, packet); code = cluster*CLUSTER + row."""
     p = rays_aug.shape[0]
     packet = rays_aug.shape[2] // 2
     valid = _valid_bytes(meta)
     meta_flat = meta.reshape(meta.shape[0], 1, -1)
     out_spec = pl.BlockSpec(
-        (1, 1, packet), lambda b, dref: (b, 0, 0),
+        (1, 1, packet), lambda b, dref, pref: (pref[b], 0, 0),
         memory_space=pltpu.VMEM,
     )
     oshape = jax.ShapeDtypeStruct((p, 1, packet), jnp.float32)
     oishape = jax.ShapeDtypeStruct((p, 1, packet), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(p,),
         in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w, packet),
         out_specs=[out_spec] * 2,
@@ -556,21 +608,36 @@ def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
         grid_spec=grid_spec,
         out_shape=[oshape, oishape],
         interpret=interpret,
-    )(bucket_dom, bounds, meta_flat, valid, w, rays_aug)
+        compiler_params=_COMPILER_PARAMS,
+    )(bucket_dom, packet_perm, bounds, meta_flat, valid, w, rays_aug)
+
+
+def _iota_p(p):
+    return jnp.arange(p, dtype=jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
+def _nearest_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
+    """Identity-permutation form (grid order == packet order)."""
+    return _nearest_call_perm(
+        bucket_dom, _iota_p(rays_aug.shape[0]), bounds, meta, w, rays_aug,
+        interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _anyhit_call_perm(bucket_dom, packet_perm, bounds, meta, w, rays_aug,
+                      interpret):
     p = rays_aug.shape[0]
     packet = rays_aug.shape[2] // 2
     valid = _valid_bytes(meta)
     meta_flat = meta.reshape(meta.shape[0], 1, -1)
     out_spec = pl.BlockSpec(
-        (1, 1, packet), lambda b, dref: (b, 0, 0),
+        (1, 1, packet), lambda b, dref, pref: (pref[b], 0, 0),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(p,),
         in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w, packet),
         out_specs=out_spec,
@@ -581,7 +648,16 @@ def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p, 1, packet), jnp.int32),
         interpret=interpret,
-    )(bucket_dom, bounds, meta_flat, valid, w, rays_aug)
+        compiler_params=_COMPILER_PARAMS,
+    )(bucket_dom, packet_perm, bounds, meta_flat, valid, w, rays_aug)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _anyhit_call(bucket_dom, bounds, meta, w, rays_aug, interpret):
+    return _anyhit_call_perm(
+        bucket_dom, _iota_p(rays_aug.shape[0]), bounds, meta, w, rays_aug,
+        interpret,
+    )
 
 
 def tri_soa_from_scene(scene):
@@ -634,7 +710,8 @@ class ClusterBVHIntersector:
         self.host = cbvh
         self.bounds = jnp.asarray(cbvh.bounds)[None]
         self.meta = jnp.asarray(cbvh.meta)[None]
-        self.w = jnp.asarray(cbvh.w)[None]
+        # pre-stacked bf16 pages (r5): zero per-visit operand prep in-kernel
+        self.w = stack_w_pages(jnp.asarray(cbvh.w))[None]
         self.tri_ids = jnp.asarray(cbvh.tri_ids.reshape(-1))
         self.v0, self.e1, self.e2 = tri_soa_from_scene(scene)
         self.nn = cbvh.num_nodes

@@ -24,15 +24,21 @@ from ..domains.partition import DomainSet
 
 class ResidencyManager:
     def __init__(self, dset: DomainSet, num_slots, device=None,
-                 domain_provider=None):
+                 domain_provider=None, post_load=None):
         """dset: stacked host DomainSet (jnp-BVH page layout), OR pass
         domain_provider(d) -> dict of host arrays for any other per-domain
         page format (e.g. the Pallas cluster-BVH pages) — residency is page-
-        format agnostic: it streams whatever dict the provider returns."""
+        format agnostic: it streams whatever dict the provider returns.
+
+        post_load(device_dict) -> device_dict runs ON DEVICE after each
+        upload (r5: the cluster backend expands compact f32 'w' pages into
+        pre-stacked bf16 kernel operands here, so host->HBM streaming moves
+        the compact 1x bytes and HBM holds the 4x kernel form)."""
         self.host = dset
         self.num_slots = int(num_slots)
         self.device = device or jax.devices()[0]
         self._provider = domain_provider
+        self._post_load = post_load
         self._resident = {}  # domain_id -> device pytree (dict of arrays)
         self._lru = []  # domain ids, least-recent first
         self.loads = 0  # stats: domain uploads (reference's 'domains loaded')
@@ -74,9 +80,10 @@ class ResidencyManager:
                         raise RuntimeError("all slots pinned by request")
                     self._lru.remove(cand)
                     del self._resident[cand]
-                self._resident[d] = jax.device_put(
-                    self._host_domain(d), self.device
-                )
+                page = jax.device_put(self._host_domain(d), self.device)
+                if self._post_load is not None:
+                    page = self._post_load(page)
+                self._resident[d] = page
                 self.loads += 1
             self._lru.append(d)
             out.append(self._resident[d])
@@ -104,9 +111,10 @@ class ResidencyManager:
                     break  # every slot pinned: no room to prefetch
                 self._lru.remove(evictable[0])
                 del self._resident[evictable[0]]
-            self._resident[d] = jax.device_put(
-                self._host_domain(d), self.device
-            )
+            page = jax.device_put(self._host_domain(d), self.device)
+            if self._post_load is not None:
+                page = self._post_load(page)
+            self._resident[d] = page
             self._lru.insert(0, d)  # least-recent: evictable if mispredicted
             self.loads += 1
             self.prefetches += 1

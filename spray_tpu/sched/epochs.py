@@ -396,7 +396,11 @@ def epoch_batch_cluster(state: EpochState, slots, speculate, interpret,
     state = dataclasses.replace(
         state, best_t=bt, best_prim=bp, found=fnd, processed=prc
     )
-    return state, epochs, traced, spec
+    # `remaining` disambiguates epochs == max_epochs: a trace that finishes
+    # on exactly the last allowed epoch is success, not non-convergence
+    # (ADVICE r4) — callers raise only when work is actually left.
+    remaining = more_work(bt, fnd, prc)
+    return state, epochs, traced, spec, remaining
 
 
 def schedule_top_k(counts, k):
@@ -491,9 +495,18 @@ class OOCIntersector:
         reserve = max(1, num_slots // 4) if self.lookahead else 0
         self.reserve = reserve
         # Keep only AABBs + metadata resident; geometry goes through slots.
+        # Cluster backend: compact f32 'w' pages stream host->HBM and are
+        # expanded to pre-stacked bf16 kernel operands on device (r5).
+        post_load = None
+        if backend == "cluster":
+            from ..kernels.traverse import stack_w_pages  # noqa: PLC0415
+
+            def post_load(page):
+                return {**page, "w": stack_w_pages(page["w"])}
+
         self.residency = ResidencyManager(
             self.host_dset, num_slots + reserve,
-            domain_provider=self._domain_provider,
+            domain_provider=self._domain_provider, post_load=post_load,
         )
         self.stats = EpochStats()
         # structured per-epoch log (SURVEY §5 observability): one dict per
@@ -527,17 +540,20 @@ class OOCIntersector:
 
     def _run_epochs_all_resident(self, state, any_hit):
         """All domains resident: the entire trace is one device batch."""
-        state, epochs, traced, spec = epoch_batch_cluster(
+        state, epochs, traced, spec, remaining = epoch_batch_cluster(
             state, self._stacked_all, self.speculate, self.interpret,
             self.max_epochs, any_hit=any_hit,
         )
-        # ONE device->host readback for all three counters (each sync costs
+        # ONE device->host readback for all four counters (each sync costs
         # ~50ms under the axon tunnel — the cost this fast path exists to
         # avoid)
-        epochs, traced, spec = (
-            int(x) for x in np.asarray(jnp.stack([epochs, traced, spec]))
+        epochs, traced, spec, remaining = (
+            int(x) for x in np.asarray(
+                jnp.stack([epochs, traced, spec,
+                           remaining.astype(jnp.int32)])
+            )
         )
-        if epochs >= self.max_epochs:
+        if remaining:
             raise RuntimeError("epoch loop failed to converge (max_epochs)")
         self.stats.epochs += epochs
         self.stats.rays_traced += traced
@@ -598,7 +614,7 @@ class OOCIntersector:
                 for key in ("bounds", "meta", "w", "tri_ids")
             }
             stacked["id"] = slot_ids
-            state, epochs, traced, spec = epoch_batch_cluster(
+            state, epochs, traced, spec, _rem = epoch_batch_cluster(
                 state, stacked, self.speculate, self.interpret,
                 self.max_epochs, any_hit=any_hit,
             )

@@ -10,9 +10,11 @@ path at 4 devices; the full curve (both paths, 1-8 devices) is produced by
 bench.py --suite into BENCH_extra.json.
 """
 
+import os
 import time
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -37,6 +39,12 @@ def _timed(fn, iters=3):
     return min(ts)
 
 
+@pytest.mark.skipif(
+    os.environ.get("SPRAY_PERF_TESTS", "") == "0",
+    reason="wall-clock perf assertion; set SPRAY_PERF_TESTS=0 to skip on "
+    "loaded/shared CI machines (ADVICE r4) — the floor check also runs in "
+    "bench.py --suite",
+)
 def test_rayshard_weak_scaling_efficiency_floor():
     ndev = 4
     devices = jax.devices()[:ndev]
