@@ -131,17 +131,14 @@ def headline(args):
             "backend": jax.default_backend(),
             "intersector": type(isect).__name__,
             "notes": (
-                "r4: frame 6.85s -> 5.73s (keyed single-reduce leaf decode "
-                "with Newton-reciprocal t, 256-lane packets, dead-packet "
-                "program skip, global-permute domain routing, no per-visit "
-                "anyhit sync); cold compile "
-                "470s -> ~93s true XLA (scan-over-bounces, faces/emission "
-                "as jit args, one packet sort instead of 21 per-round "
-                "permutes; the remaining ~73s is the backward program's "
-                "XLA compile); transfer_s = arg upload over the axon "
-                "tunnel, formerly conflated into compile_s.  Scheduler: "
-                "config-3 speculative 3.5s -> 1.5s via device-batched "
-                "epochs (BENCH_extra.json)"
+                "r5: frame 5.72s -> 4.85s (origin-Morton bounce/NEE "
+                "wavefront repacking: intersect_b2 1.64->1.05s, occluded_b1 "
+                "0.41->0.26s; pre-stacked bf16 cluster pages: 490->285 "
+                "ns/leaf-visit; grid-permuted routing: per-round "
+                "domain-sorted page DMA with zero wavefront gathers). "
+                "transfer_s = arg upload over the axon tunnel. "
+                "Scheduler suite in BENCH_extra.json; DESIGN.md r5 section "
+                "has the measurement chain"
             ),
         },
     }

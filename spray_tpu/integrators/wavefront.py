@@ -202,6 +202,15 @@ def _path_trace(
     return radiance, nrays
 
 
+# Rematerialization policy for the bounce-scan body under autodiff:
+#   None   — XLA default (save residuals per bounce)
+#   "full" — jax.checkpoint: recompute the bounce body in backward
+#   "dots" — checkpoint_dots policy (save matmul outputs only)
+# Knob for the backward-compile experiments (VERDICT r4 next#3); the
+# production default is set from their measurements.
+SCAN_REMAT = None
+
+
 def _path_trace_scan(
     o, d, pixel_ids, sample_idx, albedo, emission, normals, eps, background,
     cfg, intersector, xp, lights=None,
@@ -305,8 +314,15 @@ def _path_trace_scan(
         xp.zeros((), xp.float32),
         stats0,
     )
+    step_fn = step
+    if SCAN_REMAT == "full":
+        step_fn = jax.checkpoint(step)
+    elif SCAN_REMAT == "dots":
+        step_fn = jax.checkpoint(
+            step, policy=jax.checkpoint_policies.checkpoint_dots
+        )
     (o, d, radiance, throughput, alive, nrays, stats), _ = jax.lax.scan(
-        step, init, xp.arange(cfg.bounces, dtype=xp.uint32)
+        step_fn, init, xp.arange(cfg.bounces, dtype=xp.uint32)
     )
     # epilogue == the unrolled loop's final iteration (gathers only, then
     # `break`): one more intersect, miss background + (first-hit) emission

@@ -68,45 +68,99 @@ def _packet_domain_order(aug, dom_aabb):
     return order, entry_sorted
 
 
-def _live_partition(win, d=None):
-    """Stable 9-bucket partition: live rays grouped by direction OCTANT
-    (8 buckets), dead lanes last.
+def _radix_perm(key, nbits):
+    """Stable permutation sorting `key` (non-negative, < 2^nbits) via LSD
+    radix passes of 3 bits — each pass is a cumsum-based stable 8-bucket
+    partition, NO sort network (XLA argsort costs ~25 ms at 262K keys /
+    ~120 ms at 1M on this chip; 5 cumsum passes measure ~4x cheaper).
+    Returns (perm, inv): x[perm] is key-sorted; result[inv] restores input
+    order."""
+    n = key.shape[0]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    buckets = jnp.arange(8, dtype=jnp.int32)[None]
+    for shift in range(0, nbits, 3):
+        digit = (jax.lax.shift_right_logical(key[perm], shift)) & 7
+        onehot = digit[:, None] == buckets  # (n, 8)
+        counts = jnp.sum(onehot, axis=0, dtype=jnp.int32)
+        base = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+        )
+        pos = base[digit] + jnp.take_along_axis(
+            jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1,
+            digit[:, None], axis=1,
+        )[:, 0]
+        perm = jnp.zeros(n, jnp.int32).at[pos].set(perm)
+    inv = jnp.zeros(n, jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return perm, inv
 
-    Two packet pathologies, one pass: (1) bounce/NEE wavefronts are mostly
-    dead lanes (measured 94% for shadow rays, 70% at bounce 2 on the bench
-    scene) that ride along in live packets — compacted, the dead tail forms
-    packets that root out at the grid-step floor.  (2) live bounce rays mix
-    all 8 direction octants per packet (origins are tile-coherent already;
-    cosine-sampled directions are not), so every visit pays the union
-    frustum — octant grouping turns the per-packet hemisphere into a cone.
-    Stability preserves tile order inside each bucket, keeping origins
-    tight.  cumsum-based (no sort: a 262K argsort costs ~25 ms on this
-    chip, the whole point is to save that order of time).  Returns
-    (perm, inv): trace o[perm] etc, then result[inv] restores input order.
-    Results are exact — the kernels are order-independent per ray.
+
+MORTON_BITS = 3  # per axis -> 9-bit spatial key (r5 repack measurements:
+#                  9 bits ~= 12 bits on the bench frame, one fewer pass)
+
+
+def _morton_origin(o, lo, hi, bits=MORTON_BITS):
+    """Per-ray Morton code of the origin quantized over the scene box."""
+    scale = jnp.float32(1 << bits) / jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip(
+        ((o - lo) * scale).astype(jnp.int32), 0, (1 << bits) - 1
+    )
+
+    def spread(v):  # 3-bit spread: abc -> a__b__c
+        v = (v | (v << 8)) & jnp.int32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.int32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.int32(0x09249249)
+        return v
+
+    return (
+        spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    )
+
+
+def _live_partition(win, d=None, o=None, world_lo=None, world_hi=None):
+    """Stable partition for packet formation: live rays grouped by
+    (direction octant, origin-Morton cell), dead lanes last.
+
+    Three packet pathologies, one permutation: (1) bounce/NEE wavefronts
+    are mostly dead lanes (measured 94% for shadow rays, 70% at bounce 2 on
+    the bench scene) that ride along in live packets — compacted, the dead
+    tail forms packets that root out at the grid-step floor.  (2) live
+    bounce rays mix all 8 direction octants per packet, so every visit pays
+    the union frustum — octant grouping turns the per-packet hemisphere
+    into a cone.  (3, r5) bounce/shadow ORIGINS are scattered across the
+    scene (camera-tile order means nothing after a bounce): grouping by a
+    9-bit origin-Morton cell makes each packet's near-field descent shared
+    — measured -13%/-39% on the bench intersect b1/b2 stages and -33% on
+    occluded b1 (profiling/r5_repack.py), results permutation-exact.
+    Stability preserves tile order inside each bucket.  All passes are
+    cumsum partitions (_radix_perm), never sorts.  For camera wavefronts
+    (identical origins) the Morton key is constant and this degrades
+    exactly to the r4 octant partition.  Returns (perm, inv): trace
+    o[perm] etc, then result[inv] restores input order.
     """
     live = win > 0
     n = win.shape[0]
     if d is None:
-        key = jnp.where(live, 0, 8)
-    else:
-        octant = (
-            (d[:, 0] > 0).astype(jnp.int32)
-            | ((d[:, 1] > 0).astype(jnp.int32) << 1)
-            | ((d[:, 2] > 0).astype(jnp.int32) << 2)
-        )
-        key = jnp.where(live, octant, 8)
-    onehot = key[:, None] == jnp.arange(9, dtype=jnp.int32)[None]  # (n, 9)
-    counts = jnp.sum(onehot, axis=0, dtype=jnp.int32)
-    base = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+        key = jnp.where(live, 0, 1)
+        return _radix_perm(key, 1)
+    octant = (
+        (d[:, 0] > 0).astype(jnp.int32)
+        | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+        | ((d[:, 2] > 0).astype(jnp.int32) << 2)
     )
-    rank = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1  # (n, 9)
-    inv = base[key] + jnp.take_along_axis(
-        rank, key[:, None], axis=1
-    )[:, 0]  # ray i -> compacted slot
-    perm = jnp.zeros(n, jnp.int32).at[inv].set(
-        jnp.arange(n, dtype=jnp.int32)
+    if o is None or world_lo is None:
+        key = jnp.where(live, octant, 8)
+        return _radix_perm(key, 4)
+    m = _morton_origin(o, world_lo, world_hi)  # 9 bits
+    key = jnp.where(live, (octant << 9) | m, jnp.int32(1 << 12))
+    # one stable argsort beats 5 radix passes at this key width (measured
+    # 248 vs 379 ms at 1M keys — the radix scatters dominate); the r3
+    # "never argsort" rule was about per-SMALL-key partitions in per-frame
+    # inner loops, where the cumsum form still wins (above)
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    inv = jnp.zeros(key.shape[0], jnp.int32).at[perm].set(
+        jnp.arange(key.shape[0], dtype=jnp.int32)
     )
     return perm, inv
 
@@ -536,7 +590,8 @@ def _scan_anyhit(bounds, meta, w, aug, interpret):
 
 
 @register_intersector_pytree(
-    leaves=("bounds", "meta", "w", "tri_ids", "dom_aabb", "v0", "e1", "e2"),
+    leaves=("bounds", "meta", "w", "tri_ids", "dom_aabb", "v0", "e1", "e2",
+            "world_lo", "world_hi"),
     aux=("n_domains", "interpret", "routed", "packet"),
 )
 class MultiDomainClusterIntersector:
@@ -566,6 +621,8 @@ class MultiDomainClusterIntersector:
         self.packet = packet
         st = build_cluster_domains(scene, n_domains, cluster=cluster)
         self.dom_aabb = jnp.asarray(st["aabb"])
+        self.world_lo = jnp.asarray(st["aabb"][:, 0:3].min(0))
+        self.world_hi = jnp.asarray(st["aabb"][:, 3:6].max(0))
         self.n_domains = st["bounds"].shape[0]
         self.bounds = jnp.asarray(st["bounds"])
         self.meta = jnp.asarray(st["meta"])
@@ -580,7 +637,7 @@ class MultiDomainClusterIntersector:
 
     def intersect(self, o, d, tmin, tmax):
         n = o.shape[0]
-        perm, inv = _live_partition(tmax, d)
+        perm, inv = _live_partition(tmax, d, o, self.world_lo, self.world_hi)
         o_, d_, tmin_, tmax_ = o[perm], d[perm], tmin[perm], tmax[perm]
         aug, _ = _rays_to_aug(o_, d_, tmin_, tmax_, self.packet)
         if self.routed == "grid":
@@ -615,7 +672,7 @@ class MultiDomainClusterIntersector:
     def occluded(self, o, d, tmax):
         n = o.shape[0]
         tmin = jnp.zeros_like(tmax)
-        perm, inv = _live_partition(tmax, d)
+        perm, inv = _live_partition(tmax, d, o, self.world_lo, self.world_hi)
         aug, _ = _rays_to_aug(o[perm], d[perm], tmin, tmax[perm], self.packet)
         if self.routed == "grid":
             occ = _routed_anyhit_grid(

@@ -63,7 +63,12 @@ def compare(name, hk, hr, t_ref, stats):
     mism = pk != pr
     real = mism & (np.abs(tk - tr) > 1e-3 * scale)
     prim_bad = float(real.mean()) if m.any() else 0.0
-    ok = valid_mismatch < 5e-4 and t_bad < 5e-4 and prim_bad < 2e-3
+    # r5 (VERDICT r4 next#8): bounds tightened to the MEASURED ZEROS of
+    # r4/r5 (1e-5 < 1/16384, i.e. literally no mismatching ray) so any
+    # regression from zero alarms loudly.  BASELINE.md's 'allclose'
+    # claim refers to the oracle-parity unit tests; this gate asserts
+    # the stronger observed bound on the compiled kernels.
+    ok = valid_mismatch < 1e-5 and t_bad < 1e-5 and prim_bad < 1e-5
     stats[name] = {
         "valid_mismatch": round(valid_mismatch, 6),
         "t_bad": round(t_bad, 6),
@@ -142,7 +147,7 @@ def main():
             occ_r = np.asarray(brute_anyhit(o, d, win))
             occ_bad = float((occ_k != occ_r).mean())
             stats[f"{kname}/{rname}"]["occ_mismatch"] = round(occ_bad, 6)
-            ok2 = occ_bad < 2e-3  # window-edge ties
+            ok2 = occ_bad < 1e-5  # measured zero (r4/r5)
             stats[f"{kname}/{rname}"]["ok"] = bool(ok and ok2)
             all_ok &= ok2
 
@@ -162,9 +167,9 @@ def main():
     frac_off = float((diff.max(axis=-1) > 1e-3).mean())
     stats["frame_md_vs_1dom"] = {
         "pix_off_frac": round(frac_off, 6),
-        "ok": bool(frac_off < 5e-3),
+        "ok": bool(frac_off < 1e-5),
     }
-    all_ok &= frac_off < 5e-3
+    all_ok &= frac_off < 1e-5
 
     # ... and a true-oracle image check: 64x64 vs the numpy brute wavefront
     from spray_tpu.core.camera import make_camera as _mk
@@ -182,9 +187,9 @@ def main():
     frac_off = float((diff.max(axis=-1) > 1e-3).mean())
     stats["frame_vs_oracle64"] = {
         "pix_off_frac": round(frac_off, 6),
-        "ok": bool(frac_off < 5e-3),
+        "ok": bool(frac_off < 1e-5),
     }
-    all_ok &= frac_off < 5e-3
+    all_ok &= frac_off < 1e-5
 
     print("PARITY_GATE " + json.dumps({"ok": bool(all_ok), "detail": stats}))
     sys.exit(0 if all_ok else 1)
