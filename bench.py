@@ -168,8 +168,19 @@ def spec_suite(args):
     cfg = RenderConfig(spp=1, bounces=2, integrator="pt", seed=0)
 
     out = {}
-    # config 3: 8 domains all-resident; speculative vs strict front-to-back
-    for name, speculate in (("speculative", True), ("baseline", False)):
+    # Prime the SHARED Mosaic kernel compiles once so per-variant warm_s is
+    # that variant's own program compile, not compile-order luck: r4's
+    # "107s vs 6s warm gap" was exactly this artifact (whichever variant ran
+    # first paid the shared kernel compiles; measured 154s-vs-6.5s with the
+    # order flipped, profiling/r5_config3.py).
+    prime = OOCIntersector(scene, n_domains=8, num_slots=8, speculate=True,
+                           lookahead=False)
+    render_device(scene, camera, cfg, intersector=prime)
+    # config 3: 8 domains all-resident; speculative (unbounded + bounded-3)
+    # vs strict front-to-back
+    for name, speculate in (
+        ("speculative", True), ("bounded3", 3), ("baseline", False),
+    ):
         isect = OOCIntersector(
             scene, n_domains=8, num_slots=8, speculate=speculate,
             lookahead=False,

@@ -206,6 +206,9 @@ def _path_trace(
 #   None   — XLA default (save residuals per bounce)
 #   "full" — jax.checkpoint: recompute the bounce body in backward
 #   "dots" — checkpoint_dots policy (save matmul outputs only)
+#   "hits" — save ONLY the intersector outputs (tagged 'hits' below):
+#            backward recomputes the cheap shading math but never the
+#            traversal kernels
 # Knob for the backward-compile experiments (VERDICT r4 next#3); the
 # production default is set from their measurements.
 SCAN_REMAT = None
@@ -249,6 +252,12 @@ def _path_trace_scan(
         win = xp.where(alive, tmax, xp.float32(0.0))
         nrays = nrays + xp.sum(alive.astype(xp.float32))
         hits, stats = isect(o, d, tmin, win, stats)
+        if SCAN_REMAT == "hits":
+            from jax.ad_checkpoint import checkpoint_name  # noqa: PLC0415
+
+            hits = jax.tree.map(
+                lambda x: checkpoint_name(x, "hits"), hits
+            )
         hit = alive & hits.valid
         miss = alive & ~hits.valid
         radiance = radiance + xp.where(
@@ -289,6 +298,10 @@ def _path_trace_scan(
                 xp.where(front, dist * xp.float32(1.0 - 1e-3), xp.float32(0.0)),
                 stats,
             )
+            if SCAN_REMAT == "hits":
+                from jax.ad_checkpoint import checkpoint_name  # noqa: PLC0415
+
+                occ = checkpoint_name(occ, "hits")
             geo = cos_s * cos_l / xp.maximum(d2, xp.float32(1e-12)) * pick_w
             contrib = (
                 throughput * albedo[hits.prim] * inv_pi * le * geo[..., None]
@@ -320,6 +333,11 @@ def _path_trace_scan(
     elif SCAN_REMAT == "dots":
         step_fn = jax.checkpoint(
             step, policy=jax.checkpoint_policies.checkpoint_dots
+        )
+    elif SCAN_REMAT == "hits":
+        step_fn = jax.checkpoint(
+            step,
+            policy=jax.checkpoint_policies.save_only_these_names("hits"),
         )
     (o, d, radiance, throughput, alive, nrays, stats), _ = jax.lax.scan(
         step_fn, init, xp.arange(cfg.bounces, dtype=xp.uint32)

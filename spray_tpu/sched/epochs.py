@@ -105,6 +105,26 @@ def needed_mask(state: EpochState):
 
 
 @jax.jit
+def second_queue_counts(state: EpochState):
+    """(D,) counts of each ray's SECOND-nearest unprocessed needed domain —
+    the entry-order prefetch predictor (VERDICT r3 next#9 / r4 next#6):
+    once a ray's nearest queue domain is traced this epoch, its
+    second-nearest is where it goes next unless it commits first, so these
+    counts ARE the predicted next-epoch queues."""
+    need = needed_mask(state)
+    masked = jnp.where(need, state.entry_t, jnp.inf)
+    nearest = jnp.argmin(masked, axis=1)
+    d_ = state.entry_t.shape[1]
+    masked2 = masked.at[
+        jnp.arange(masked.shape[0]), nearest
+    ].set(jnp.inf)
+    second = jnp.argmin(masked2, axis=1)
+    has2 = jnp.isfinite(jnp.min(masked2, axis=1))
+    return (
+        jnp.zeros(d_, jnp.int32).at[second].add(has2.astype(jnp.int32))
+    )
+
+
 def queue_counts(state: EpochState):
     """(D,) per-domain queue sizes — the reference's allgathered counts.
 
@@ -515,6 +535,25 @@ class OOCIntersector:
         # additive HBM, not subtractive schedule.  Prefetched domains also
         # join the speculative trace for free once they rotate into slots.
         self.lookahead = lookahead and num_slots >= 2
+        # Bandwidth-adaptive prefetch gate (VERDICT r4 next#6): prefetch
+        # only pays when a page upload finishes well inside a device batch.
+        # On this axon-tunneled host, host->HBM measures ~3 MB/s and
+        # prefetch made OOC 2.1x SLOWER (BENCH_extra r4); on a real
+        # PCIe/DMA host it's GB/s and overlap wins.  One timed 1 MB
+        # device_put at init decides — below 50 MB/s (≈0.13 s per 6.3 MB
+        # page) lookahead turns itself off.
+        self.host_to_hbm_mbps = None
+        if self.lookahead:
+            import time as _time  # noqa: PLC0415
+
+            probe = np.zeros(1 << 18, np.float32)  # 1 MB
+            t0 = _time.time()
+            buf = jax.device_put(probe)
+            np.asarray(jnp.ravel(buf)[:1] + 0)  # fence the transfer
+            dt = max(_time.time() - t0, 1e-6)
+            self.host_to_hbm_mbps = probe.nbytes / dt / 1e6
+            if self.host_to_hbm_mbps < 50.0:
+                self.lookahead = False
         self.sched_width = num_slots
         reserve = max(1, num_slots // 4) if self.lookahead else 0
         self.reserve = reserve
@@ -607,7 +646,16 @@ class OOCIntersector:
         """
         k = self.sched_width
         for _ in range(self.max_epochs):
-            counts = np.asarray(queue_counts(state))
+            if self.lookahead:
+                # ONE readback for both current queues and the entry-order
+                # prediction (each host sync costs ~50ms under the tunnel)
+                both = np.asarray(jnp.stack(
+                    [queue_counts(state), second_queue_counts(state)]
+                ))
+                counts, counts_next = both[0], both[1]
+            else:
+                counts = np.asarray(queue_counts(state))
+                counts_next = None
             if counts.sum() == 0:
                 break
             sched = schedule_top_k(counts, k)
@@ -627,11 +675,16 @@ class OOCIntersector:
                 slots[0] for _ in range(k - len(slots))
             )
             if self.lookahead:
-                # predict the NEXT batch = biggest queues not in this one;
-                # their uploads overlap this batch's device while_loop
-                order = np.argsort(-counts, kind="stable")
+                # predict the NEXT batch from each ray's SECOND-nearest
+                # needed domain (entry-order predictor) — where rays go
+                # once this batch traces their nearest — falling back to
+                # current-queue order; uploads overlap the device batch
+                order = np.argsort(-counts_next, kind="stable")
                 nxt = [int(d) for d in order
-                       if counts[d] > 0 and int(d) not in ids]
+                       if counts_next[d] > 0 and int(d) not in ids]
+                nxt += [int(d) for d in np.argsort(-counts, kind="stable")
+                        if counts[d] > 0 and int(d) not in ids
+                        and int(d) not in nxt]
                 self.residency.prefetch(nxt[:self.reserve], pinned=sched)
             stacked = {
                 key: jnp.stack([s[key] for s in slots])
