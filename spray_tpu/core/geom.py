@@ -139,5 +139,12 @@ def ray_aabb(ro_inv_o, inv_d, lo, hi, tmin, tmax, xp):
 def face_normals(verts, faces, xp):
     """(F, 3) geometric unit normals."""
     tv = verts[faces.reshape(-1)].reshape(faces.shape[0], 3, 3)
+    if xp is not np:
+        # XLA barrier on the big vertex gather: fusing it with consumers
+        # while its transpose (backward scatter-add) shares the module sends
+        # TPU compile superlinear (see integrators.wavefront.pgather)
+        import jax  # noqa: PLC0415
+
+        tv = jax.lax.optimization_barrier(tv)
     n = cross(tv[:, 1] - tv[:, 0], tv[:, 2] - tv[:, 0], xp)
     return normalize(n, xp)

@@ -36,7 +36,11 @@ def reintersect(vertices, faces, prim, o, d, tmax, valid):
     earlier bounces' geometry — we keep that path open by not detaching them).
     """
     safe = jnp.where(valid, prim, 0)
-    tv = vertices[faces[safe].reshape(-1)].reshape(-1, 3, 3)
+    # barrier on the big vertex gather — see integrators.wavefront.pgather
+    # (the gather+transpose fusion pathology cost ~75s of backward compile)
+    tv = jax.lax.optimization_barrier(
+        vertices[faces[safe].reshape(-1)].reshape(-1, 3, 3)
+    )
     v0, v1, v2 = tv[:, 0], tv[:, 1], tv[:, 2]
     e1 = v1 - v0
     e2 = v2 - v0

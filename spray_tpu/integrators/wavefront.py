@@ -29,6 +29,26 @@ def scene_offset_eps(scene):
     return np.float32(max(diag, 1e-6) * 1e-4)
 
 
+def pgather(tbl, idx, xp):
+    """Parameter-table gather behind an XLA optimization barrier.
+
+    Fusing a (N,3) gather from a multi-million-row table into its consumers
+    sends the XLA TPU compiler superlinear once the module ALSO contains
+    the gather's transpose (the backward scatter-add): one gather + grad at
+    2.6M faces measured 193.5s to compile plain vs 12.5s with a barrier on
+    the gathered rows (r5; this was ~75s of the bench step's "backward"
+    compile, previously misattributed to the bounce-scan transpose — it
+    reproduces at bounces=0).  The barrier materializes the gathered rows,
+    which is data movement the gather performs anyway; values are
+    unchanged.  numpy path: plain indexing.
+    """
+    if xp is np:
+        return tbl[idx]
+    import jax  # noqa: PLC0415
+
+    return jax.lax.optimization_barrier(tbl[idx])
+
+
 def _shade_prep(o, d, hits, normals, xp, eps):
     """Hit point (offset along the facing normal) + facing normal.
 
@@ -36,7 +56,7 @@ def _shade_prep(o, d, hits, normals, xp, eps):
     downstream contribution is hit-masked, and keeping them finite stops
     inf/NaN from leaking into gradients through masked branches.
     """
-    n = normals[hits.prim]
+    n = pgather(normals, hits.prim, xp)
     # Face the normal against the incoming ray (two-sided shading).
     sgn = xp.where(geom.dot(n, d, xp) < 0, xp.float32(1.0), xp.float32(-1.0))
     n = n * sgn[..., None]
@@ -126,9 +146,16 @@ def _sample_light_point(lights, u_pick, u1, u2, xp):
     su = xp.sqrt(u1)
     b1 = (su * (xp.float32(1.0) - u2))[..., None]
     b2 = (su * u2)[..., None]
-    y = lights["v0"][idx] + b1 * lights["e1"][idx] + b2 * lights["e2"][idx]
-    weight = lights["area"][idx] * xp.float32(num)
-    return y, lights["normal"][idx], lights["Le"][idx], weight
+    # light-table gathers through the barrier (pgather): in the diff path
+    # every one of these tables derives from the live vertex/emission
+    # arrays, so their transposes are scatter-adds in the same module —
+    # the gather+transpose fusion pathology (pgather docstring) measured
+    # here as 100s vs 16s of XLA compile at bounces=0 with/without NEE
+    y = (pgather(lights["v0"], idx, xp) + b1 * pgather(lights["e1"], idx, xp)
+         + b2 * pgather(lights["e2"], idx, xp))
+    weight = pgather(lights["area"], idx, xp) * xp.float32(num)
+    return (y, pgather(lights["normal"], idx, xp),
+            pgather(lights["Le"], idx, xp), weight)
 
 
 def _path_trace(
@@ -160,7 +187,7 @@ def _path_trace(
             # With NEE, emission after the first hit is already accounted for
             # by the light samples — adding it again would double count.
             radiance = radiance + xp.where(
-                hit[..., None], throughput * emission[hits.prim], 0
+                hit[..., None], throughput * pgather(emission, hits.prim, xp), 0
             )
         if bounce == cfg.bounces:
             break
@@ -189,13 +216,13 @@ def _path_trace(
                 xp.where(front, dist * xp.float32(1.0 - 1e-3), xp.float32(0.0)),
             )
             geo = cos_s * cos_l / xp.maximum(d2, xp.float32(1e-12)) * pick_w
-            contrib = throughput * albedo[hits.prim] * inv_pi * le * geo[..., None]
+            contrib = throughput * pgather(albedo, hits.prim, xp) * inv_pi * le * geo[..., None]
             lit = front & ~occ
             radiance = radiance + xp.where(lit[..., None], contrib, 0)
         u1, u2 = rng.uniform2(cfg.seed, pixel_ids, sample_idx, bounce, rng.BSDF, xp)
         local = geom.cosine_hemisphere(u1, u2, xp)
         new_d = geom.local_to_world(local, nrm, xp)
-        throughput = throughput * xp.where(hit[..., None], albedo[hits.prim], 1)
+        throughput = throughput * xp.where(hit[..., None], pgather(albedo, hits.prim, xp), 1)
         alive = hit & (xp.max(throughput, axis=-1) > xp.float32(0.0))
         o = xp.where(hit[..., None], p, o)
         d = xp.where(hit[..., None], new_d, d)
@@ -268,7 +295,7 @@ def _path_trace_scan(
         # adds emission on hit.
         emis_gate = hit & (bounce == 0) if nee else hit
         radiance = radiance + xp.where(
-            emis_gate[..., None], throughput * emission[hits.prim], 0
+            emis_gate[..., None], throughput * pgather(emission, hits.prim, xp), 0
         )
         p, nrm = _shade_prep(o, d, hits, normals, xp, eps)
         if nee:
@@ -304,7 +331,7 @@ def _path_trace_scan(
                 occ = checkpoint_name(occ, "hits")
             geo = cos_s * cos_l / xp.maximum(d2, xp.float32(1e-12)) * pick_w
             contrib = (
-                throughput * albedo[hits.prim] * inv_pi * le * geo[..., None]
+                throughput * pgather(albedo, hits.prim, xp) * inv_pi * le * geo[..., None]
             )
             lit = front & ~occ
             radiance = radiance + xp.where(lit[..., None], contrib, 0)
@@ -313,7 +340,7 @@ def _path_trace_scan(
         )
         local = geom.cosine_hemisphere(u1, u2, xp)
         new_d = geom.local_to_world(local, nrm, xp)
-        throughput = throughput * xp.where(hit[..., None], albedo[hits.prim], 1)
+        throughput = throughput * xp.where(hit[..., None], pgather(albedo, hits.prim, xp), 1)
         alive = hit & (xp.max(throughput, axis=-1) > xp.float32(0.0))
         o = xp.where(hit[..., None], p, o)
         d = xp.where(hit[..., None], new_d, d)
@@ -352,7 +379,7 @@ def _path_trace_scan(
     radiance = radiance + xp.where(miss[..., None], throughput * background, 0)
     if not nee or cfg.bounces == 0:
         radiance = radiance + xp.where(
-            hit[..., None], throughput * emission[hits.prim], 0
+            hit[..., None], throughput * pgather(emission, hits.prim, xp), 0
         )
     if fs_init is not None:
         intersector.absorb_stats(stats)
@@ -387,7 +414,7 @@ def _ambient_occlusion(
         )
         vis = vis + xp.where(occ, xp.float32(0.0), xp.float32(1.0))
     vis = vis * xp.float32(1.0 / max(cfg.ao_samples, 1))
-    col = albedo[hits.prim] * vis[..., None]
+    col = pgather(albedo, hits.prim, xp) * vis[..., None]
     return xp.where(hits.valid[..., None], col, background), nrays
 
 
@@ -406,7 +433,7 @@ def make_light_arrays(vertices, faces, emission, light_ids, xp):
     if len(light_ids) == 0:
         return None
     f = faces[light_ids]
-    tv = vertices[f.reshape(-1)].reshape(-1, 3, 3)
+    tv = pgather(vertices, f.reshape(-1), xp).reshape(-1, 3, 3)
     v0 = tv[:, 0]
     e1 = tv[:, 1] - tv[:, 0]
     e2 = tv[:, 2] - tv[:, 0]

@@ -96,12 +96,35 @@ def _radix_perm(key, nbits):
     return perm, inv
 
 
+def _bucket_perm(key, nbuckets):
+    """Stable permutation grouping `key` (ints in [0, nbuckets)) — ONE
+    cumsum partition, used for the per-round PACKET grouping in the grid
+    router (P ~ 4K packets, <= D+1 buckets).  An argsort here, inside the
+    round scan, interacted with the wavefront-level sort to inflate the
+    whole-frame XLA compile from ~26s to ~107s (r5_compile_iso)."""
+    n = key.shape[0]
+    onehot = key[:, None] == jnp.arange(nbuckets, dtype=key.dtype)[None]
+    counts = jnp.sum(onehot, axis=0, dtype=jnp.int32)
+    base = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    pos = base[key] + jnp.take_along_axis(
+        jnp.cumsum(onehot.astype(jnp.int32), axis=0) - 1, key[:, None],
+        axis=1,
+    )[:, 0]
+    return jnp.zeros(n, jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+
+
 MORTON_BITS = 3  # per axis -> 9-bit spatial key (r5 repack measurements:
 #                  9 bits ~= 12 bits on the bench frame, one fewer pass)
 
 
-def _morton_origin(o, lo, hi, bits=MORTON_BITS):
+def _morton_origin(o, lo, hi, bits=None):
     """Per-ray Morton code of the origin quantized over the scene box."""
+    if bits is None:
+        bits = MORTON_BITS  # read at trace time so sweeps can retune
     scale = jnp.float32(1 << bits) / jnp.maximum(hi - lo, 1e-12)
     q = jnp.clip(
         ((o - lo) * scale).astype(jnp.int32), 0, (1 << bits) - 1
@@ -152,8 +175,10 @@ def _live_partition(win, d=None, o=None, world_lo=None, world_hi=None):
     if o is None or world_lo is None:
         key = jnp.where(live, octant, 8)
         return _radix_perm(key, 4)
-    m = _morton_origin(o, world_lo, world_hi)  # 9 bits
-    key = jnp.where(live, (octant << 9) | m, jnp.int32(1 << 12))
+    shift = 3 * MORTON_BITS
+    m = _morton_origin(o, world_lo, world_hi)
+    key = jnp.where(live, (octant << shift) | m,
+                    jnp.int32(1 << (shift + 3)))
     # one stable argsort beats 5 radix passes at this key width (measured
     # 248 vs 379 ms at 1M keys — the radix scatters dominate); the r3
     # "never argsort" rule was about per-SMALL-key partitions in per-frame
@@ -512,7 +537,7 @@ def _routed_nearest_grid(bounds, meta, w, tri_ids, dom_aabb, aug, tmax,
         a = aug.at[:, 5, 0:pk].set(win_pk)
         bucket_nat = live_buckets(win_pk, bdom)  # (P,), -1 = dead
         key = jnp.where(bucket_nat >= 0, bucket_nat, d_count)
-        perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+        perm = _bucket_perm(key, d_count + 1)
         t, code = _nearest_call_perm(
             bucket_nat[perm], perm, bounds, meta, w, a, interpret
         )
@@ -551,7 +576,7 @@ def _routed_anyhit_grid(bounds, meta, w, dom_aabb, aug, interpret):
         a = aug.at[:, 5, 0:pk].set(win_pk)
         bucket_nat = live_buckets(win_pk, bdom)
         key = jnp.where(bucket_nat >= 0, bucket_nat, d_count)
-        perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+        perm = _bucket_perm(key, d_count + 1)
         o = _anyhit_call_perm(
             bucket_nat[perm], perm, bounds, meta, w, a, interpret
         )

@@ -796,31 +796,57 @@ class OOCIntersector:
         self.stats.prefetches = self.residency.prefetches
         return state
 
+    def _wavefront_perm(self, o, d, tmax):
+        """Origin-Morton packet permutation for the epoch wavefront (r5):
+        the same (octant, origin-cell) grouping the single-chip fast path
+        uses — bounce/NEE wavefronts arrive in camera-tile order that means
+        nothing after a bounce.  Results are permutation-exact."""
+        if not hasattr(self, "_partition_j"):
+            from ..kernels.multidomain import _live_partition  # noqa: PLC0415
+
+            # one jit wrapper per intersector: this runs in the EAGER
+            # host-driven loop, where per-op dispatch over the tunnel
+            # would otherwise dominate the partition
+            self._partition_j = jax.jit(_live_partition)
+        lo, hi = self.dset.aabb_lo, self.dset.aabb_hi
+        return self._partition_j(
+            tmax, d, o, jnp.min(lo, axis=0), jnp.max(hi, axis=0)
+        )
+
     def intersect(self, o, d, tmin, tmax):
-        state = init_state(self.dset, o, d, tmin, tmax, occ_mode=False)
+        perm, inv = self._wavefront_perm(o, d, tmax)
+        o_, d_ = o[perm], d[perm]
+        state = init_state(
+            self.dset, o_, d_, tmin[perm], tmax[perm], occ_mode=False
+        )
         state = self._run_epochs(state)
         self.stats.committed += int(jnp.sum(state.found))
+        best_prim = state.best_prim[inv]
+        best_t = state.best_t[inv]
+        found = state.found[inv]
         if self.backend == "cluster":
             # kernels return (t, prim) only; recompute (t, u, v) against the
             # committed triangle exactly as the fast path does
             from ..kernels.traverse import attrs_for_prims  # noqa: PLC0415
 
             t, u, v, valid = attrs_for_prims(
-                self.v0, self.e1, self.e2, state.best_prim, o, d,
-                state.best_t, tmax,
+                self.v0, self.e1, self.e2, best_prim, o, d, best_t, tmax,
             )
             return Hits(
                 t=jnp.where(valid, t, tmax),
-                prim=state.best_prim.astype(jnp.int32), u=u, v=v, valid=valid,
+                prim=best_prim.astype(jnp.int32), u=u, v=v, valid=valid,
             )
         return Hits(
-            t=jnp.where(state.found, state.best_t, tmax),
-            prim=state.best_prim, u=state.best_u, v=state.best_v,
-            valid=state.found,
+            t=jnp.where(found, best_t, tmax),
+            prim=best_prim, u=state.best_u[inv], v=state.best_v[inv],
+            valid=found,
         )
 
     def occluded(self, o, d, tmax):
         tmin = jnp.zeros_like(tmax)
-        state = init_state(self.dset, o, d, tmin, tmax, occ_mode=True)
+        perm, inv = self._wavefront_perm(o, d, tmax)
+        state = init_state(
+            self.dset, o[perm], d[perm], tmin, tmax[perm], occ_mode=True
+        )
         state = self._run_epochs(state, any_hit=True)
-        return state.found
+        return state.found[inv]
