@@ -117,8 +117,8 @@ def _bucket_perm(key, nbuckets):
     )
 
 
-MORTON_BITS = 3  # per axis -> 9-bit spatial key (r5 repack measurements:
-#                  9 bits ~= 12 bits on the bench frame, one fewer pass)
+MORTON_BITS = 4  # per axis -> 12-bit spatial key (r5_sweep2: fwd frame
+#                  2.936s vs 3.024s @9 bits at p256; p128/p512 both lose)
 
 
 def _morton_origin(o, lo, hi, bits=None):
@@ -538,11 +538,27 @@ def _routed_nearest_grid(bounds, meta, w, tri_ids, dom_aabb, aug, tmax,
         bucket_nat = live_buckets(win_pk, bdom)  # (P,), -1 = dead
         key = jnp.where(bucket_nat >= 0, bucket_nat, d_count)
         perm = _bucket_perm(key, d_count + 1)
+        # Collapse the dead tail onto ONE representative step (r5 census:
+        # on camera/shadow rounds 94% of grid steps were dead — the body
+        # skip left their ray-in and two out-block DMAs running).  All
+        # dead steps index the same packet and the same page (the last
+        # live domain's, via the -1-d encoding), so Pallas's
+        # revisiting-block rule drops every per-step DMA; the other dead
+        # packets' output blocks are never written and their garbage is
+        # masked by `live` below.
+        n_live = jnp.sum((bucket_nat >= 0).astype(jnp.int32))
+        steps = jnp.arange(p, dtype=jnp.int32)
+        rep = perm[jnp.minimum(n_live, p - 1)]
+        perm = jnp.where(steps < n_live, perm, rep)
+        dmax = jnp.max(jnp.where(bucket_nat >= 0, bucket_nat, 0))
+        bucket = jnp.where(
+            steps < n_live, bucket_nat[perm], -1 - dmax
+        )
         t, code = _nearest_call_perm(
-            bucket_nat[perm], perm, bounds, meta, w, a, interpret
+            bucket, perm, bounds, meta, w, a, interpret
         )
         t = t.reshape(p, pk)
-        code = code.reshape(p, pk)
+        code = jnp.clip(code.reshape(p, pk), -1, tri_ids.shape[1] - 1)
         dom_b = jnp.maximum(bdom, 0)[:, None]
         prim = jnp.where(
             code >= 0,
@@ -550,7 +566,10 @@ def _routed_nearest_grid(bounds, meta, w, tri_ids, dom_aabb, aug, tmax,
                     jnp.maximum(code, 0)],
             -1,
         )
-        upd = (prim >= 0) & (t < bt)
+        # mask by PACKET liveness (bucket_nat, not bdom: a domain-overlapped
+        # packet with no live lanes is also a dead step now) — dead steps'
+        # unwritten output blocks hold garbage
+        upd = (prim >= 0) & (t < bt) & (bucket_nat >= 0)[:, None]
         return (
             jnp.where(upd, t, bt), jnp.where(upd, prim, bp)
         ), None
@@ -577,10 +596,20 @@ def _routed_anyhit_grid(bounds, meta, w, dom_aabb, aug, interpret):
         bucket_nat = live_buckets(win_pk, bdom)
         key = jnp.where(bucket_nat >= 0, bucket_nat, d_count)
         perm = _bucket_perm(key, d_count + 1)
-        o = _anyhit_call_perm(
-            bucket_nat[perm], perm, bounds, meta, w, a, interpret
+        # dead-tail collapse: see _routed_nearest_grid
+        n_live = jnp.sum((bucket_nat >= 0).astype(jnp.int32))
+        steps = jnp.arange(p, dtype=jnp.int32)
+        rep = perm[jnp.minimum(n_live, p - 1)]
+        perm = jnp.where(steps < n_live, perm, rep)
+        dmax = jnp.max(jnp.where(bucket_nat >= 0, bucket_nat, 0))
+        bucket = jnp.where(
+            steps < n_live, bucket_nat[perm], -1 - dmax
         )
-        return occ | o.reshape(p, pk), None
+        o = _anyhit_call_perm(
+            bucket, perm, bounds, meta, w, a, interpret
+        )
+        live_pkt = (bucket_nat >= 0)[:, None]
+        return occ | jnp.where(live_pkt, o.reshape(p, pk), 0), None
 
     occ, _ = jax.lax.scan(
         body, jnp.zeros((p, pk), jnp.int32),

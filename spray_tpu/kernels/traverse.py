@@ -525,7 +525,11 @@ def _domain_specs(bounds, meta, valid_cols, w, packet=PACKET):
     wavefront gathers/scatters: results land at their natural packet
     positions via the output index map.
     """
-    dsel = lambda b, dom_ref: jnp.maximum(dom_ref[b], 0)
+    # dead entries: -1 selects page 0 (legacy); -d-2 selects page d+1... no:
+    # value -1-d selects page d, so callers can park dead steps on the LAST
+    # live domain's page (no page switch at the dead tail).  max(v, -1-v)
+    # is v for v >= 0 and d for v == -1-d.
+    dsel = lambda b, dom_ref: jnp.maximum(dom_ref[b], -1 - dom_ref[b])
     return [
         pl.BlockSpec(
             (1,) + bounds.shape[1:],
