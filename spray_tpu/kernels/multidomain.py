@@ -179,10 +179,14 @@ def _live_partition(win, d=None, o=None, world_lo=None, world_hi=None):
     m = _morton_origin(o, world_lo, world_hi)
     key = jnp.where(live, (octant << shift) | m,
                     jnp.int32(1 << (shift + 3)))
-    # one stable argsort beats 5 radix passes at this key width (measured
-    # 248 vs 379 ms at 1M keys — the radix scatters dominate); the r3
-    # "never argsort" rule was about per-SMALL-key partitions in per-frame
-    # inner loops, where the cumsum form still wins (above)
+    # One stable RAY-LEVEL argsort (~140 ms at 1M lanes).  Beats 5-pass
+    # cumsum radix at this key width (248 vs 379 ms — the radix scatters
+    # dominate); the r3 "never argsort" rule was about per-SMALL-key
+    # partitions in per-frame inner loops, where the cumsum form still
+    # wins (above).  MEASURED AND REJECTED (r5): sorting one min-key per
+    # 8-lane group (1/8 the sort length) — post-bounce samples of the same
+    # pixel diverge, so group packing collapses packet coherence
+    # (intersect_b2 0.98 -> 2.00s, occluded_b1 0.24 -> 0.72s).
     perm = jnp.argsort(key, stable=True).astype(jnp.int32)
     inv = jnp.zeros(key.shape[0], jnp.int32).at[perm].set(
         jnp.arange(key.shape[0], dtype=jnp.int32)
