@@ -190,10 +190,18 @@ def spec_suite(args):
         warm = time.time() - t0
         isect.stats = type(isect.stats)()  # reset after warmup
         isect.residency.hits = isect.residency.loads = 0
-        t0 = time.time()
-        render_device(scene, camera, cfg, intersector=isect)
-        dt = time.time() - t0
+        # min-of-3: single-shot timing flips the speculative-vs-baseline
+        # ordering run to run under the tunnel's ~0.5s jitter (r5)
+        dt = 1e30
+        for _ in range(3):
+            t0 = time.time()
+            render_device(scene, camera, cfg, intersector=isect)
+            dt = min(dt, time.time() - t0)
         s = isect.stats
+        s.epochs //= 3
+        s.rays_traced //= 3
+        s.rays_speculated //= 3
+        s.committed //= 3
         out[f"config3_{name}"] = {
             "frame_s": round(dt, 3),
             "warm_s": round(warm, 3),
@@ -215,18 +223,29 @@ def spec_suite(args):
         isect.stats = type(isect.stats)()
         isect.residency.hits = isect.residency.loads = 0
         isect.residency.prefetches = 0
-        t0 = time.time()
-        render_device(scene, camera, cfg, intersector=isect)
-        dt = time.time() - t0
+        dt = 1e30
+        for _ in range(3):
+            t0 = time.time()
+            render_device(scene, camera, cfg, intersector=isect)
+            dt = min(dt, time.time() - t0)
         s = isect.stats
+        s.epochs //= 3
         out[f"config4_{name}"] = {
             "frame_s": round(dt, 3),
             "warm_s": round(warm, 3),
             "epochs": s.epochs,
-            "domain_loads": s.domain_loads,
-            "cache_hits": s.cache_hits,
-            "prefetches": s.prefetches,
+            "domain_loads": s.domain_loads // 3,  # summed over min-of-3 runs
+            "cache_hits": s.cache_hits // 3,
+            "prefetches": s.prefetches // 3,
             "speculation_efficiency": round(s.speculation_efficiency, 4),
+            # bandwidth-adaptive gate (r5): on slow host->HBM paths (this
+            # tunnel) lookahead disables itself, so prefetch==noprefetch
+            # by construction; real PCIe hosts keep it on
+            "lookahead_active": bool(isect.lookahead),
+            "host_to_hbm_mbps": (
+                round(isect.host_to_hbm_mbps, 1)
+                if isect.host_to_hbm_mbps else None
+            ),
         }
     return out
 
