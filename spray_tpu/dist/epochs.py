@@ -144,7 +144,8 @@ class CollectiveEpochIntersector:
 
     def __init__(self, local_domains, aabb_lo, aabb_hi, owner_of_domain,
                  axis, n_devices, bucket, leaf_size, max_epochs=64,
-                 backend="jnp", interpret=False, tri_soa=None):
+                 backend="jnp", interpret=False, tri_soa=None,
+                 rounds_per_check=1):
         self.local_domains = local_domains  # dict of (Dl, ...) local arrays
         self.aabb_lo = aabb_lo  # (D, 3) replicated
         self.aabb_hi = aabb_hi
@@ -156,6 +157,7 @@ class CollectiveEpochIntersector:
         self.max_epochs = max_epochs
         self.backend = backend  # "cluster" (Pallas pages) | "jnp" (BVH scan)
         self.interpret = interpret
+        self.rounds_per_check = max(1, int(rounds_per_check))
         # replicated (v0, e1, e2) triangle SoA for home-side differentiable
         # attribute recompute (u/v never ride the all_to_all)
         self.tri_soa = tri_soa
@@ -339,7 +341,23 @@ class CollectiveEpochIntersector:
         state["global_need"] = jax.lax.psum(
             jnp.sum(jnp.any(needed(state), axis=1), dtype=jnp.int32), self.axis
         )
-        final = jax.lax.while_loop(cond, body, state)
+
+        def body_k(state):
+            # run `rounds_per_check` exchange rounds per while iteration:
+            # the loop-condition evaluation is a cross-device barrier
+            # (global_need psum) every iteration.  A surplus round after
+            # convergence is a no-op (the a2a moves empty buckets, every
+            # local window is dead), so k=2 trades up to one wasted round
+            # for half the sync points — the right bargain on a real
+            # multi-host mesh where the barrier is network latency.
+            # Default 1: on the single-process CPU-mesh proxy the psum is
+            # plain compute, so the wasted round only costs (measured r5);
+            # set 2+ when deploying across hosts.
+            for _ in range(self.rounds_per_check):
+                state = body(state)
+            return state
+
+        final = jax.lax.while_loop(cond, body_k, state)
         if log:
             self._stat_log.append((final["epoch"], final["exchanged"]))
         return final
