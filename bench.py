@@ -131,14 +131,18 @@ def headline(args):
             "backend": jax.default_backend(),
             "intersector": type(isect).__name__,
             "notes": (
-                "r5: frame 5.72s -> 4.85s (origin-Morton bounce/NEE "
-                "wavefront repacking: intersect_b2 1.64->1.05s, occluded_b1 "
-                "0.41->0.26s; pre-stacked bf16 cluster pages: 490->285 "
-                "ns/leaf-visit; grid-permuted routing: per-round "
-                "domain-sorted page DMA with zero wavefront gathers). "
-                "transfer_s = arg upload over the axon tunnel. "
-                "Scheduler suite in BENCH_extra.json; DESIGN.md r5 section "
-                "has the measurement chain"
+                "r5: frame 5.72s -> 4.72s (origin-Morton bounce/NEE "
+                "wavefront repacking; pre-stacked bf16 cluster pages "
+                "490->285 ns/leaf-visit; grid-permuted routing + dead-tail "
+                "grid collapse: domain-sorted page DMA with zero wavefront "
+                "gathers).  True cold compile 86.8s with an empty cache "
+                "(compile_s here reflects the current cache state); the "
+                "residual over the 60s target is an isolated XLA "
+                "gather+transpose fusion pathology (DESIGN r5).  Backward "
+                "split: albedo-only grads run at forward speed (3.10s); "
+                "vertex grads +1.5s of scatter-add transposes.  transfer_s "
+                "= arg upload over the axon tunnel.  Scheduler suite in "
+                "BENCH_extra.json; DESIGN.md r5 has the measurement chain"
             ),
         },
     }
