@@ -21,7 +21,7 @@ import numpy as np
 from ..core.pytree import register_intersector_pytree
 from ..core.types import Hits
 from ..domains.partition import median_split_assign
-from .cluster_bvh import CLUSTER, build_cluster_bvh
+from .cluster_bvh import CLUSTER, ClusterBVH, build_cluster_bvh
 from . import common
 from .traverse import (
     _anyhit_call, _anyhit_call_perm, _nearest_call, _nearest_call_perm,

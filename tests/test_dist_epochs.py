@@ -99,3 +99,40 @@ def test_insitu_diff_matches_single_device_grads():
         scale = np.abs(gr).max()
         assert scale > 0
         np.testing.assert_allclose(gd, gr, atol=1e-5 * scale, rtol=1e-4)
+
+
+def test_insitu_functional_stats_and_rounds_per_check():
+    """r5: the dist bounce loop runs as a lax.scan with the functional
+    stats protocol — the renderer's structured counters must be populated
+    and sane; rounds_per_check=2 (multi-round per liveness barrier) must
+    reproduce the image with at most one extra (no-op) round per loop."""
+    cfg = RenderConfig(spp=1, bounces=2, integrator="pt", seed=6)
+    mesh = make_mesh(8)
+    render = make_insitu_renderer(
+        SCENE, CAM, cfg, mesh, n_domains=16, bucket=256
+    )
+    img = render()
+    stats = render.last_stats
+    assert stats["epochs"] > 0
+    assert stats["rays_exchanged"] > 0
+    assert stats["trace_activations"] > 0
+
+    from spray_tpu.dist import epochs as de
+
+    orig = de.CollectiveEpochIntersector.__init__
+
+    def patched(self, *a, **k):
+        k["rounds_per_check"] = 2
+        orig(self, *a, **k)
+
+    de.CollectiveEpochIntersector.__init__ = patched
+    try:
+        render2 = make_insitu_renderer(
+            SCENE, CAM, cfg, mesh, n_domains=16, bucket=256
+        )
+        img2 = render2()
+    finally:
+        de.CollectiveEpochIntersector.__init__ = orig
+    np.testing.assert_allclose(img2, img, atol=1e-6, rtol=1e-6)
+    # at most one surplus no-op round per while loop
+    assert render2.last_stats["rays_exchanged"] == stats["rays_exchanged"]

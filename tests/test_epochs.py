@@ -150,3 +150,34 @@ def test_ooc_device_batched_matches_host_driven():
     # residency change, not per epoch
     assert len(dev.epoch_log) <= len(host.epoch_log)
     assert dev.stats.epochs >= 1 and dev.stats.rays_traced > 0
+
+
+def test_ooc_bounded_speculation_matches_unbounded():
+    """r5 bounded speculation (speculate=k: each epoch traces only a ray's
+    k nearest needed domains) commits the SAME hits/occlusion as unbounded
+    speculation and strict baseline, with activation counts strictly
+    between the two (the commit set is policy-invariant; only the work
+    schedule differs)."""
+    n = 512
+    o, d = _rand_rays(SCENE, n, seed=11)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    results = {}
+    for name, speculate in (("base", False), ("k2", 2), ("full", True)):
+        isect = OOCIntersector(
+            SCENE, n_domains=8, num_slots=8, speculate=speculate,
+            backend="cluster", interpret=True,
+        )
+        h = _intersect_all(isect, o, d, n)
+        occ = np.asarray(isect.occluded(o, d, tmax))
+        results[name] = (h, occ, isect.stats.rays_traced)
+    h0, occ0, act_base = results["base"]
+    for name in ("k2", "full"):
+        h, occ, _ = results[name]
+        np.testing.assert_array_equal(np.asarray(h0.valid), np.asarray(h.valid))
+        np.testing.assert_array_equal(np.asarray(h0.prim), np.asarray(h.prim))
+        np.testing.assert_allclose(
+            np.asarray(h0.t), np.asarray(h.t), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_array_equal(occ0, occ)
+    # bounded does no more work than unbounded, no less than strict
+    assert act_base <= results["k2"][2] <= results["full"][2]

@@ -88,3 +88,34 @@ def test_multidomain_render_parity():
         )
     )
     np.testing.assert_allclose(dev, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_empty_domains_padded_not_dropped():
+    """ADVICE r4: a partition that leaves some requested domains empty must
+    honor the domain count with never-hit placeholder pages (mesh-rounded
+    in-situ setups crash otherwise), and the render must be unaffected."""
+    from spray_tpu.io.scenes import icosphere
+    from spray_tpu.kernels.multidomain import (
+        MultiDomainClusterIntersector, build_cluster_domains,
+    )
+
+    scene = icosphere(subdiv=1)  # 80 tris < 128 domains -> empties
+    st = build_cluster_domains(scene, n_domains=128)
+    assert st["bounds"].shape[0] == 128
+    # placeholder domains: no real tris
+    per_dom_tris = (st["tri_ids"] >= 0).sum(axis=1)
+    assert (per_dom_tris == 0).any()
+    isect = MultiDomainClusterIntersector(scene, n_domains=128,
+                                          interpret=True)
+    ref = MultiDomainClusterIntersector(scene, n_domains=2, interpret=True)
+    n = 128
+    rng_ = np.random.RandomState(0)
+    o = jnp.asarray(rng_.uniform(-2, 2, size=(n, 3)).astype(np.float32))
+    d = jnp.asarray(rng_.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    tmin = jnp.zeros(n, jnp.float32)
+    tmax = jnp.full(n, 1e30, jnp.float32)
+    h16 = isect.intersect(o, d, tmin, tmax)
+    h2 = ref.intersect(o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(h16.valid), np.asarray(h2.valid))
+    np.testing.assert_array_equal(np.asarray(h16.prim), np.asarray(h2.prim))
