@@ -131,7 +131,8 @@ def headline(args):
             "backend": jax.default_backend(),
             "intersector": type(isect).__name__,
             "notes": (
-                "r5: frame 5.72s -> 4.72s (origin-Morton bounce/NEE "
+                "r5: frame 5.72s -> 4.03s (fused single-call routed traversal "
+                "with VMEM best-t carry; origin-Morton bounce/NEE "
                 "wavefront repacking; pre-stacked bf16 cluster pages "
                 "490->285 ns/leaf-visit; grid-permuted routing + dead-tail "
                 "grid collapse: domain-sorted page DMA with zero wavefront "

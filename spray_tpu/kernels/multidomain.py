@@ -25,8 +25,8 @@ from .cluster_bvh import CLUSTER, ClusterBVH, build_cluster_bvh
 from . import common
 from .traverse import (
     _anyhit_call, _anyhit_call_perm, _nearest_call, _nearest_call_perm,
-    _rays_to_aug, _flat, attrs_for_prims, live_buckets, stack_w_pages,
-    tri_soa_from_scene,
+    _nearest_fused_call, _rays_to_aug, _flat, attrs_for_prims, live_buckets,
+    stack_w_pages, tri_soa_from_scene,
 )
 
 MAX_DOMAIN_TRIS = 1 << 17  # ~131K tris ≈ 6.3 MB of cluster transforms
@@ -585,6 +585,60 @@ def _routed_nearest_grid(bounds, meta, w, tri_ids, dom_aabb, aug, tmax,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
+def _routed_nearest_fused(bounds, meta, w, tri_ids, dom_aabb, aug, tmax,
+                          interpret):
+    """Routed traversal with ALL rounds in ONE pallas call (r5,
+    routed="fused"): the best-(t, global-code) carry lives in kernel VMEM
+    scratch, so the per-round dispatches, window rebakes and min-combines
+    of the grid form disappear.  The full rounds-major schedule
+    (domain-sorted with collapsed dead tails, exactly the grid form's) is
+    computed up front and scalar-prefetched."""
+    p = aug.shape[0]
+    pk = aug.shape[2] // 2
+    order, _ = _packet_domain_order(aug, dom_aabb)  # (P, R)
+    d_count = bounds.shape[0]
+    pkt_live = jnp.any(aug[:, 5, 0:pk] > 0, axis=1)  # (P,) static
+    bdom = order.T  # (R, P)
+    bucket_nat = jnp.where(
+        pkt_live[None] & (bdom >= 0), jnp.maximum(bdom, 0), -1
+    )
+    key = jnp.where(bucket_nat >= 0, bucket_nat, d_count)
+    perm = jax.vmap(lambda k: _bucket_perm(k, d_count + 1))(key)  # (R, P)
+    n_live = jnp.sum((bucket_nat >= 0).astype(jnp.int32), axis=1)  # (R,)
+    steps = jnp.arange(p, dtype=jnp.int32)[None]
+    rep = jnp.take_along_axis(
+        perm, jnp.minimum(n_live, p - 1)[:, None], axis=1
+    )
+    live_step = steps < n_live[:, None]
+    perm = jnp.where(live_step, perm, rep)
+    bucket_g = jnp.take_along_axis(bucket_nat, perm, axis=1)
+    dmax = jnp.max(jnp.where(bucket_nat >= 0, bucket_nat, 0), axis=1)
+    dom_all = jnp.where(live_step, bucket_g, -1 - dmax[:, None]).reshape(-1)
+    t, code = _nearest_fused_call(
+        dom_all, perm.reshape(-1), bounds, meta, w, aug, interpret
+    )
+    ever = jnp.any(bucket_nat >= 0, axis=0)[:, None]  # (P, 1)
+    t = jnp.where(ever, t[:, 0], jnp.float32(0.0))
+    code = jnp.where(ever, code[:, 0], -1)
+    flat_ids = tri_ids.reshape(-1)
+    code = jnp.clip(code, -1, flat_ids.shape[0] - 1)
+    prim = jnp.where(code >= 0, flat_ids[jnp.maximum(code, 0)], -1)
+    npad = p * pk
+
+    def pad_n(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full(npad - x.shape[0], fill, x.dtype)]
+        ) if x.shape[0] < npad else x
+
+    bt0 = pad_n(tmax, 0.0).reshape(p, pk)
+    # lanes with no commit keep their original window value (the carry's
+    # no-hit value), matching the grid form's contract
+    upd = prim >= 0
+    bt = jnp.where(upd, t, bt0)
+    return bt.reshape(-1), prim.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def _routed_anyhit_grid(bounds, meta, w, dom_aabb, aug, interpret):
     p = aug.shape[0]
     pk = aug.shape[2] // 2
@@ -655,11 +709,17 @@ def _scan_anyhit(bounds, meta, w, aug, interpret):
 class MultiDomainClusterIntersector:
     """Drop-in intersector: D per-domain Pallas cluster BVHs, min-combined.
 
-    routed="grid" (default, r5): per-round domain-sorted GRID order via the
-    scalar-prefetched packet permutation — every round's page DMAs are
+    routed="fused" (default, r5): ALL domain rounds in ONE pallas call —
+    the per-packet best-(t, global-code) carry lives in kernel VMEM
+    scratch, the rounds-major domain-sorted schedule is scalar-prefetched,
+    and a packet's last live round writes its final output block.  Kills
+    the per-round dispatches, window rebakes and min-combines of the grid
+    form: fwd bench frame 2.91 -> 2.21s, byte-identical (r5).
+    routed="grid": per-round pallas calls in domain-sorted GRID order via
+    the scalar-prefetched packet permutation — every round's page DMAs are
     maximally contiguous AND there are zero wavefront gathers (the rays
-    never move; the kernel's index maps do the sort).  Strictly dominates
-    both older routed forms.
+    never move; the kernel's index maps do the sort).  Kept as the
+    cross-check for the fused carry (and the any-hit form fused reuses).
     routed="global" (r4): one packet DATA sort by first-visited domain;
     later rounds' domain runs fragment (measured 15% frame loss with the
     4x bf16 pre-stacked pages).
@@ -670,7 +730,7 @@ class MultiDomainClusterIntersector:
     """
 
     def __init__(self, scene, n_domains=None, interpret=None,
-                 routed="grid", packet=256, cluster=None):
+                 routed="fused", packet=256, cluster=None):
         # default 256 lanes: measured fastest on the bench frame (r4 packet
         # sweep: 1.46s vs 1.62s @512 vs 1.54s @128, byte-identical images) —
         # narrower packets waste less union-frustum decode on incoherent
@@ -698,7 +758,12 @@ class MultiDomainClusterIntersector:
         perm, inv = _live_partition(tmax, d, o, self.world_lo, self.world_hi)
         o_, d_, tmin_, tmax_ = o[perm], d[perm], tmin[perm], tmax[perm]
         aug, _ = _rays_to_aug(o_, d_, tmin_, tmax_, self.packet)
-        if self.routed == "grid":
+        if self.routed == "fused":
+            bt, bp = _routed_nearest_fused(
+                self.bounds, self.meta, self.w, self.tri_ids,
+                self.dom_aabb, aug, tmax_, self.interpret,
+            )
+        elif self.routed == "grid":
             bt, bp = _routed_nearest_grid(
                 self.bounds, self.meta, self.w, self.tri_ids,
                 self.dom_aabb, aug, tmax_, self.interpret,
@@ -732,7 +797,7 @@ class MultiDomainClusterIntersector:
         tmin = jnp.zeros_like(tmax)
         perm, inv = _live_partition(tmax, d, o, self.world_lo, self.world_hi)
         aug, _ = _rays_to_aug(o[perm], d[perm], tmin, tmax[perm], self.packet)
-        if self.routed == "grid":
+        if self.routed in ("grid", "fused"):  # fused: nearest-only for now
             occ = _routed_anyhit_grid(
                 self.bounds, self.meta, self.w, self.dom_aabb, aug,
                 self.interpret,

@@ -376,6 +376,162 @@ def _nearest_body(bounds_ref, meta_ref, valid_ref, w_ref, rays_ref, out_t,
     out_code[0] = best_code
 
 
+def _nearest_fused_kernel(dom_ref, perm_ref, bounds_ref, meta_ref,
+                          valid_ref, w_ref, rays_ref, out_t, out_code,
+                          nid_ref, pc_ref, bt_ref, bc_ref, init_ref):
+    """ALL routed rounds in ONE pallas call (r5 experiment, routed="fused").
+
+    Grid = R*P steps, rounds-major; the best-(t, code) carry lives in VMEM
+    SCRATCH spanning every packet (bt_ref/bc_ref, (P,1,packet)), so the 20
+    extra dispatches and the per-round whole-wavefront window rebakes of
+    the scan form disappear.  perm_ref holds each round's domain-sorted
+    packet order (dead tail collapsed per round); out blocks are indexed by
+    packet, so a packet's LAST live round writes its final value.  The
+    code carried is GLOBAL: dom * (Nc*C) + local.  init_ref (SMEM, (P,))
+    marks first touch — an untouched packet's first live round seeds the
+    carry from the ray block's own tmax row.
+    """
+    packet = rays_ref.shape[2] // 2
+    g = pl.program_id(0)
+    q = perm_ref[g]
+    dom = dom_ref[g]
+    live = dom >= 0
+    p_total = bt_ref.shape[0]
+
+    @pl.when(g == 0)
+    def _():
+        # scratch is uninitialized memory: clear the first-touch flags once
+        def body(i, _):
+            init_ref[i] = 0
+            return 0
+        jax.lax.fori_loop(0, p_total, body, 0)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        # the representative dead packet: emit its current carry (it may
+        # have been live in an earlier round), or the never-hit default
+        inited = init_ref[q] != 0
+
+        def emit_carry():
+            out_t[0] = bt_ref[q]
+            out_code[0] = bc_ref[q]
+
+        def emit_default():
+            out_t[0] = jnp.zeros((1, packet), jnp.float32)
+            out_code[0] = jnp.full((1, packet), -1, jnp.int32)
+
+        jax.lax.cond(inited, emit_carry, emit_default)
+
+    @pl.when(live)
+    def _():
+        od8, ox, oy, oz, idx, idy, idz, tmin, tmax0 = _ray_rows(rays_ref)
+        if w_ref.shape[2] == 32:
+            od8 = od8.astype(jnp.bfloat16)
+        c_sz = w_ref.shape[3] // 3
+        nc_c = w_ref.shape[1] * c_sz  # codes per domain (global code stride)
+        row = jax.lax.broadcasted_iota(jnp.int32, (c_sz, packet), 0)
+        first = init_ref[q] == 0
+        bt0 = jnp.where(first, tmax0, bt_ref[q])
+        bc0 = jnp.where(
+            first, jnp.full((1, packet), -1, jnp.int32), bc_ref[q]
+        )
+
+        w0 = _slab_all_children(
+            bounds_ref, 0, valid_ref[0, 0, 0], ox, oy, oz, idx, idy, idz,
+            tmin, bt0,
+        )
+        nid_ref[0] = 0
+        pc_ref[0] = w0
+        sp0 = (w0 != 0).astype(jnp.int32)
+
+        def cond(carry):
+            return carry[0] > 0
+
+        def body(carry):
+            sp, best_t, best_code = carry
+            sp, nid, c = _pop_child(nid_ref, pc_ref, sp)
+            kind = meta_ref[0, 0, nid * 8 + c]
+
+            def internal_case(ops):
+                sp, best_t, best_code = ops
+                w = _slab_all_children(
+                    bounds_ref, kind, valid_ref[0, 0, kind], ox, oy, oz,
+                    idx, idy, idz, tmin, best_t,
+                )
+                @pl.when(w != 0)
+                def _():
+                    nid_ref[sp] = kind
+                    pc_ref[sp] = w
+                return (sp + (w != 0).astype(jnp.int32), best_t, best_code)
+
+            def leaf_case(ops):
+                sp, best_t, best_code = ops
+                cid = -(kind + 2)
+                key = _cluster_intersect(
+                    w_ref, cid, od8, tmin, best_t, occl=False, row=row,
+                )
+                kmin = jnp.min(key, axis=0, keepdims=True)
+                t_up = jax.lax.bitcast_convert_type(
+                    (kmin & jnp.int32(-128)) + jnp.int32(128), jnp.float32
+                )
+                improved = t_up < best_t
+                code = cid * c_sz + (kmin & 127)
+                return (
+                    sp,
+                    jnp.where(improved, t_up, best_t),
+                    jnp.where(improved, code, best_code),
+                )
+
+            return jax.lax.cond(
+                kind >= 0, internal_case, leaf_case, (sp, best_t, best_code)
+            )
+
+        init = (sp0, bt0, jnp.full((1, packet), -1, jnp.int32))
+        _, bt, local_code = jax.lax.while_loop(cond, body, init)
+        merged_code = jnp.where(
+            local_code >= 0, dom * nc_c + local_code, bc0
+        )
+        bt_ref[q] = bt
+        bc_ref[q] = merged_code
+        init_ref[q] = 1
+        out_t[0] = bt
+        out_code[0] = merged_code
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _nearest_fused_call(dom_all, perm_all, bounds, meta, w, rays_aug,
+                        interpret):
+    """dom_all/perm_all: (R*P,) rounds-major schedule; returns the FINAL
+    (t, code_global) per packet, each (P, 1, packet)."""
+    p = rays_aug.shape[0]
+    packet = rays_aug.shape[2] // 2
+    valid = _valid_bytes(meta)
+    meta_flat = meta.reshape(meta.shape[0], 1, -1)
+    out_spec = pl.BlockSpec(
+        (1, 1, packet), lambda b, dref, pref: (pref[b], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(dom_all.shape[0],),
+        in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w, packet),
+        out_specs=[out_spec] * 2,
+        scratch_shapes=_stack_scratch() + [
+            pltpu.VMEM((p, 1, packet), jnp.float32),
+            pltpu.VMEM((p, 1, packet), jnp.int32),
+            pltpu.SMEM((p,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _nearest_fused_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((p, 1, packet), jnp.float32),
+                   jax.ShapeDtypeStruct((p, 1, packet), jnp.int32)],
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(dom_all, perm_all, bounds, meta_flat, valid, w, rays_aug)
+
+
 def _anyhit_kernel(dom_ref, perm_ref, bounds_ref, meta_ref, valid_ref,
                    w_ref, rays_ref, out_occ, nid_ref, pc_ref):
     packet = rays_ref.shape[2] // 2
