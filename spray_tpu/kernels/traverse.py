@@ -532,6 +532,129 @@ def _nearest_fused_call(dom_all, perm_all, bounds, meta, w, rays_aug,
     )(dom_all, perm_all, bounds, meta_flat, valid, w, rays_aug)
 
 
+def _anyhit_fused_kernel(dom_ref, perm_ref, bounds_ref, meta_ref,
+                         valid_ref, w_ref, rays_ref, out_occ,
+                         nid_ref, pc_ref, oc_ref, init_ref):
+    """Fused any-hit: all rounds in one pallas call, occlusion carried in
+    VMEM scratch (see _nearest_fused_kernel).  Already-occluded lanes get
+    zero windows, so later rounds' visits for them root out instantly."""
+    packet = rays_ref.shape[2] // 2
+    g = pl.program_id(0)
+    q = perm_ref[g]
+    dom = dom_ref[g]
+    live = dom >= 0
+    p_total = oc_ref.shape[0]
+
+    @pl.when(g == 0)
+    def _():
+        def body(i, _):
+            init_ref[i] = 0
+            return 0
+        jax.lax.fori_loop(0, p_total, body, 0)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        inited = init_ref[q] != 0
+
+        def emit_carry():
+            out_occ[0] = oc_ref[q]
+
+        def emit_default():
+            out_occ[0] = jnp.zeros((1, packet), jnp.int32)
+
+        jax.lax.cond(inited, emit_carry, emit_default)
+
+    @pl.when(live)
+    def _():
+        od8, ox, oy, oz, idx, idy, idz, tmin, tmax0 = _ray_rows(rays_ref)
+        if w_ref.shape[2] == 32:
+            od8 = od8.astype(jnp.bfloat16)
+        first = init_ref[q] == 0
+        occ0 = jnp.where(
+            first, jnp.zeros((1, packet), jnp.int32), oc_ref[q]
+        )
+        win = jnp.where(occ0 != 0, F32(0.0), tmax0)
+
+        w0 = _slab_all_children(
+            bounds_ref, 0, valid_ref[0, 0, 0], ox, oy, oz, idx, idy, idz,
+            tmin, win,
+        )
+        nid_ref[0] = 0
+        pc_ref[0] = w0
+        sp0 = (w0 != 0).astype(jnp.int32)
+
+        def cond(carry):
+            return carry[0] > 0
+
+        def body(carry):
+            sp, occ = carry
+            sp, nid, c = _pop_child(nid_ref, pc_ref, sp)
+            kind = meta_ref[0, 0, nid * 8 + c]
+
+            def internal_case(ops):
+                sp, occ = ops
+                window_hi = jnp.where(occ != 0, F32(0.0), tmax0)
+                w = _slab_all_children(
+                    bounds_ref, kind, valid_ref[0, 0, kind], ox, oy, oz,
+                    idx, idy, idz, tmin, window_hi,
+                )
+                @pl.when(w != 0)
+                def _():
+                    nid_ref[sp] = kind
+                    pc_ref[sp] = w
+                return (sp + (w != 0).astype(jnp.int32), occ)
+
+            def leaf_case(ops):
+                sp, occ = ops
+                cid = -(kind + 2)
+                ok = _cluster_intersect(
+                    w_ref, cid, od8, tmin,
+                    jnp.where(occ != 0, F32(0.0), tmax0), occl=True
+                )
+                return (
+                    sp,
+                    occ | jnp.any(ok, axis=0, keepdims=True).astype(jnp.int32),
+                )
+
+            return jax.lax.cond(kind >= 0, internal_case, leaf_case,
+                                (sp, occ))
+
+        _, occ = jax.lax.while_loop(cond, body, (sp0, occ0))
+        oc_ref[q] = occ
+        init_ref[q] = 1
+        out_occ[0] = occ
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _anyhit_fused_call(dom_all, perm_all, bounds, meta, w, rays_aug,
+                       interpret):
+    p = rays_aug.shape[0]
+    packet = rays_aug.shape[2] // 2
+    valid = _valid_bytes(meta)
+    meta_flat = meta.reshape(meta.shape[0], 1, -1)
+    out_spec = pl.BlockSpec(
+        (1, 1, packet), lambda b, dref, pref: (pref[b], 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(dom_all.shape[0],),
+        in_specs=_domain_specs(bounds, meta_flat, valid.shape[2], w, packet),
+        out_specs=out_spec,
+        scratch_shapes=_stack_scratch() + [
+            pltpu.VMEM((p, 1, packet), jnp.int32),
+            pltpu.SMEM((p,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        _anyhit_fused_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p, 1, packet), jnp.int32),
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(dom_all, perm_all, bounds, meta_flat, valid, w, rays_aug)
+
+
 def _anyhit_kernel(dom_ref, perm_ref, bounds_ref, meta_ref, valid_ref,
                    w_ref, rays_ref, out_occ, nid_ref, pc_ref):
     packet = rays_ref.shape[2] // 2

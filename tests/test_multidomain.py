@@ -119,3 +119,30 @@ def test_empty_domains_padded_not_dropped():
     h2 = ref.intersect(o, d, tmin, tmax)
     np.testing.assert_array_equal(np.asarray(h16.valid), np.asarray(h2.valid))
     np.testing.assert_array_equal(np.asarray(h16.prim), np.asarray(h2.prim))
+
+
+def test_fused_anyhit_matches_grid():
+    """The fused any-hit (occlusion carry in kernel scratch; kept as the
+    cross-check for the fused traversal design) equals the grid form."""
+    from spray_tpu.kernels.multidomain import (
+        MultiDomainClusterIntersector, _routed_anyhit_fused,
+        _routed_anyhit_grid,
+    )
+    from spray_tpu.kernels.traverse import _rays_to_aug
+
+    scene = wisp_cloud(n_blobs=6, tris_per_blob=200, extent=4.0, seed=5)
+    i = MultiDomainClusterIntersector(scene, n_domains=6, interpret=True)
+    rs = np.random.RandomState(3)
+    n = 600
+    o = jnp.asarray(rs.uniform(-4, 4, size=(n, 3)).astype(np.float32))
+    d = jnp.asarray(rs.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    tmax = jnp.where(jnp.arange(n) % 4 == 0, 0.0, 6.0).astype(jnp.float32)
+    aug, _ = _rays_to_aug(o, d, jnp.zeros(n, jnp.float32), tmax, 256)
+    of = _routed_anyhit_fused(
+        i.bounds, i.meta, i.w, i.dom_aabb, aug, True
+    )[: n]
+    og = _routed_anyhit_grid(
+        i.bounds, i.meta, i.w, i.dom_aabb, aug, True
+    )[: n]
+    np.testing.assert_array_equal(np.asarray(of != 0), np.asarray(og != 0))
